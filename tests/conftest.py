@@ -1,0 +1,36 @@
+"""Test harness: force an 8-device CPU platform for the whole test run.
+
+This is the standard JAX way to exercise multi-device collectives
+(shard_map / psum over a Mesh) on a single host without TPU chips —
+SURVEY.md §4's test strategy.
+
+Note: this environment's sitecustomize registers a remote 'axon' TPU
+backend in every Python process and overrides JAX_PLATFORMS, so setting
+the env var alone is NOT enough — tests would silently round-trip every
+op over the TPU tunnel (~100× slower). Backends initialize lazily, so
+updating jax.config before first device use wins.
+"""
+
+import os
+
+# Must precede backend initialization (not merely jax import).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 forced host devices"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

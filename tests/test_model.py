@@ -1,0 +1,126 @@
+"""Model forward tests: shapes, dtype policy, BiLSTM parity vs torch.
+
+Tiny image sizes keep CPU compile times tractable; the anchor-count
+relation (ΣHWA) is validated exactly against ops.anchors.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.models.bilstm import BiLSTMEncoder
+from zsgnet_tpu.models.zsgnet import ZSGNet, anchor_pyramid_for
+from zsgnet_tpu.ops import anchors as anchor_ops
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        resize_img=(64, 64), lstm_dim=16, emb_dim=8, max_qlen=6,
+        fpn_ch=32, head_ch=32, compute_dtype="float32", use_pallas=False,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_batch(rng, cfg, b=2, vocab=50):
+    h, w = cfg.resize_img
+    img = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+    qvec = rng.integers(1, vocab, size=(b, cfg.max_qlen)).astype(np.int32)
+    qlens = np.array([3, cfg.max_qlen], dtype=np.int32)[:b]
+    return {
+        "img": jnp.asarray(img),
+        "qvec": jnp.asarray(qvec),
+        "qlens": jnp.asarray(qlens),
+    }
+
+
+def test_zsgnet_retina_forward_shapes(rng):
+    cfg = tiny_cfg()
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    batch = make_batch(rng, cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    sizes = anchor_ops.feature_map_sizes(cfg.resize_img)
+    total = sum(h * w for h, w in sizes) * cfg.num_anchors
+    assert out["att_out"].shape == (2, total)
+    assert out["bbx_out"].shape == (2, total, 4)
+    assert out["att_out"].dtype == jnp.float32
+    assert out["feat_sizes"] == sizes
+    # Anchor pyramid must align with the flattened output.
+    anchors = anchor_pyramid_for(cfg)
+    assert anchors.shape == (total, 4)
+
+
+def test_zsgnet_focal_prior_bias(rng):
+    # With zero-init head convs the score logits should equal the focal
+    # prior bias (≈ -4.59), keeping early focal loss small.
+    cfg = tiny_cfg()
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    batch = make_batch(rng, cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    att = np.asarray(out["att_out"])
+    assert np.all(att < 0), "score logits should start negative (focal prior)"
+
+
+def test_zsgnet_ssd_forward_shapes(rng):
+    cfg = tiny_cfg(mdl_to_use="ssd_vgg", resize_img=(96, 96))
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    batch = make_batch(rng, cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    from zsgnet_tpu.models.ssd_vgg import ssd_feature_map_sizes
+
+    sizes = ssd_feature_map_sizes(cfg.resize_img)
+    assert out["feat_sizes"] == sizes
+    total = sum(h * w for h, w in sizes) * cfg.num_anchors
+    assert out["att_out"].shape == (2, total)
+
+
+def test_query_mask_independence(rng):
+    # Tokens past qlen must not affect the query vector (packed-seq parity).
+    cfg = tiny_cfg()
+    enc = BiLSTMEncoder(vocab_size=50, emb_dim=8, hidden=16)
+    qvec = jnp.asarray(rng.integers(1, 50, size=(1, 6)).astype(np.int32))
+    qlens = jnp.array([3], dtype=jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), qvec, qlens)
+    out1 = enc.apply(variables, qvec, qlens)
+    qvec2 = qvec.at[0, 4].set(17)  # mutate a padded position
+    out2 = enc.apply(variables, qvec2, qlens)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-7)
+
+
+def test_bilstm_matches_torch(rng):
+    """BiLSTM vs torch's packed-sequence LSTM with identical weights."""
+    torch = pytest.importorskip("torch")
+    B, T, E, H = 3, 5, 4, 6
+    lengths = np.array([5, 3, 1], dtype=np.int32)
+    x = rng.normal(size=(B, T, E)).astype(np.float32)
+
+    tl = torch.nn.LSTM(E, H, bidirectional=True, batch_first=True)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lengths), batch_first=True
+    )
+    _, (h_n, _) = tl(packed)
+    want = torch.cat([h_n[0], h_n[1]], dim=-1).detach().numpy()  # (B, 2H)
+
+    from zsgnet_tpu.models.bilstm import LSTMDirection
+
+    def torch_params(direction):
+        sfx = "_reverse" if direction else ""
+        w_ih = getattr(tl, f"weight_ih_l0{sfx}").detach().numpy().T  # (E, 4H)
+        w_hh = getattr(tl, f"weight_hh_l0{sfx}").detach().numpy().T
+        b = (
+            getattr(tl, f"bias_ih_l0{sfx}") + getattr(tl, f"bias_hh_l0{sfx}")
+        ).detach().numpy()
+        return {"w_ih": jnp.asarray(w_ih), "w_hh": jnp.asarray(w_hh), "bias": jnp.asarray(b)}
+
+    xj, lj = jnp.asarray(x), jnp.asarray(lengths)
+    fwd = LSTMDirection(H, reverse=False)
+    _, h_fwd = fwd.apply({"params": torch_params(False)}, xj, lj)
+    bwd = LSTMDirection(H, reverse=True)
+    _, h_bwd = bwd.apply({"params": torch_params(True)}, xj, lj)
+    got = np.concatenate([np.asarray(h_fwd), np.asarray(h_bwd)], axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,153 @@
+"""Typed config system — JSON defaults + CLI/dict overrides.
+
+Capability parity with the reference's ``code/extended_config.py`` +
+``configs/cfg.json`` (yacs CfgNode; SURVEY.md §2 item 2), rebuilt as a
+frozen dataclass so a Config can be closed over by jitted code and hashed
+for compilation caching. Reference hyperparameter key names are preserved
+(``ds_to_use``, ``mdl_to_use``, ``bs``, ``lr``, ``resize_img``, ``ratios``,
+``scales``, ``lamb_reg``, ``use_focal``, ``use_softmax``, ``use_multi``,
+``use_same_atb``, ``matching_threshold``, ``acc_iou_threshold``, …) so
+reference experiment commands translate one-to-one.
+
+TPU-specific additions: ``compute_dtype`` (bfloat16 compute), ``use_pallas``
+(Pallas vs pure-jnp kernel selection), ``mesh_shape``/``data_axis`` for the
+sharding mesh, ``donate`` for buffer donation in the train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+# 2^(1/3), 2^(2/3): RetinaNet octave scales, matching the reference cfg.json.
+_DEFAULT_SCALES = (1.0, 1.2599210498948732, 1.5874010519681994)
+_DEFAULT_RATIOS = (0.5, 1.0, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- experiment / dataset (reference keys) ---
+    uid: str = "zsg_tpu"
+    ds_to_use: str = "refclef"  # refclef | flickr30k | flickr_split0 | flickr_split1 | vg_split
+    mdl_to_use: str = "retina"  # retina (ResNet50+FPN) | ssd_vgg
+    data_dir: str = "data"
+    bs: int = 16
+    nw: int = 4                  # data-loading worker threads
+    epochs: int = 10
+    lr: float = 1e-4
+    resize_img: tuple[int, int] = (300, 300)
+    # --- query encoder ---
+    emb_dim: int = 300
+    lstm_dim: int = 256          # per-direction hidden; BiLSTM output = 512
+    max_qlen: int = 50           # static pad length for queries
+    vocab_size: int = 0          # 0 = derive from dataset vocab at build time
+    # --- anchors / head ---
+    ratios: tuple[float, ...] = _DEFAULT_RATIOS
+    scales: tuple[float, ...] = _DEFAULT_SCALES
+    matching_threshold: float = 0.5
+    neg_threshold: float = 0.4
+    acc_iou_threshold: float = 0.5
+    use_same_atb: bool = True    # shared prediction head across scales
+    fpn_ch: int = 256
+    head_ch: int = 256
+    # --- loss (reference variants) ---
+    lamb_reg: float = 1.0
+    use_focal: bool = True
+    use_softmax: bool = False
+    use_multi: bool = True       # multi-positive matching (vs best-anchor only)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # --- training runtime ---
+    opt_to_use: str = "adam"
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0       # 0 = off
+    seed: int = 0
+    resume: bool = False
+    resume_path: str = ""
+    load_normally: bool = True   # strict load (False → partial/warm-start)
+    only_val: bool = False
+    only_test: bool = False
+    log_every: int = 20
+    ckpt_every_epochs: int = 1
+    tmp_path: str = "tmp"
+    # --- TPU-native knobs ---
+    compute_dtype: str = "bfloat16"   # activations/conv compute; params+loss fp32
+    use_pallas: bool = True           # Pallas kernels on TPU; jnp fallback elsewhere
+    do_dist: bool = True              # shard batch over the data mesh axis
+    mesh_shape: tuple[int, ...] = (-1,)  # -1 = all available devices, 1-D data mesh
+    data_axis: str = "data"
+    prefetch_depth: int = 2
+    remat_backbone: bool = False      # jax.checkpoint over backbone stages
+
+    # ------------------------------------------------------------------
+    @property
+    def num_anchors(self) -> int:
+        return len(self.ratios) * len(self.scales)
+
+    @property
+    def lang_dim(self) -> int:
+        return 2 * self.lstm_dim
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **_coerce(self, kw))
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=list)
+
+
+# Aliases so reference-style CLI flags keep working (reference key-map helper
+# `update_from_dict(cfg, dct, key_maps)` — SURVEY.md §2 item 2).
+KEY_MAPS = {
+    "batch_size": "bs",
+    "num_workers": "nw",
+    "num_epochs": "epochs",
+    "match_thr": "matching_threshold",
+    "neg_thr": "neg_threshold",
+}
+
+
+def _coerce(cfg: Config, overrides: dict[str, Any]) -> dict[str, Any]:
+    """Map aliases and coerce CLI string values to the field's type."""
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    out: dict[str, Any] = {}
+    for key, val in overrides.items():
+        key = KEY_MAPS.get(key, key)
+        if key not in fields:
+            raise KeyError(f"unknown config key: {key!r}")
+        cur = getattr(cfg, key)
+        if isinstance(val, str):
+            if isinstance(cur, bool):
+                val = val.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                val = int(val)
+            elif isinstance(cur, float):
+                val = float(val)
+            elif isinstance(cur, tuple):
+                parsed = json.loads(val)
+                val = tuple(parsed)
+        elif isinstance(val, list):
+            val = tuple(val)
+        out[key] = val
+    return out
+
+
+def get_default_cfg(config_path: str | Path | None = None) -> Config:
+    """Defaults, optionally overlaid with a JSON file (configs/cfg.json)."""
+    cfg = Config()
+    if config_path is None:
+        default = Path(__file__).resolve().parent.parent / "configs" / "cfg.json"
+        config_path = default if default.exists() else None
+    if config_path is not None:
+        with open(config_path) as f:
+            cfg = cfg.replace(**json.load(f))
+    return cfg
+
+
+def update_from_dict(cfg: Config, overrides: dict[str, Any]) -> Config:
+    """Reference-API-compatible override merge (aliases + type coercion)."""
+    return cfg.replace(**overrides)

@@ -1,0 +1,107 @@
+"""ResNet-50 backbone — flax linen, NHWC, bf16-compute / fp32-params.
+
+Capability parity with the reference's torchvision ``resnet50`` tap of
+C3/C4/C5 (512/1024/2048 channels; SURVEY.md §2 item 8), built TPU-first:
+
+  * NHWC layout (TPU conv native) instead of torch's NCHW;
+  * bottleneck-v1.5 (stride in the 3×3) matching torchvision so the
+    torch→flax weight converter (``zsgnet_tpu.convert``) is exact;
+  * BatchNorm in inference uses running stats; training updates them via
+    flax mutable collections — but the grounding task trains with frozen
+    BN by default (small batches), matching common detection practice;
+  * optional ``jax.checkpoint`` (remat) over stages to trade FLOPs for
+    HBM when scaling batch size.
+
+Padding note (SURVEY.md §7 "hard parts"): torch pads 3×3/stride-2 convs
+with explicit pad=1, which differs from XLA's SAME for even inputs. We use
+explicit ((1,1),(1,1))-style padding throughout to keep converted-weight
+parity bit-comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck v1.5: 1×1 → 3×3(stride) → 1×1 ×4."""
+
+    features: int  # bottleneck width; output is 4*features
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+        conv = lambda f, k, s, name, pad: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=pad, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        residual = x
+        y = conv(self.features, 1, 1, "conv1", "VALID")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = conv(self.features, 3, self.stride, "conv2", [(1, 1), (1, 1)])(y)
+        y = nn.relu(norm("bn2")(y))
+        y = conv(self.features * 4, 1, 1, "conv3", "VALID")(y)
+        y = norm("bn3")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features * 4, 1, self.stride, "downsample_conv", "VALID")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Returns (C3, C4, C5) feature maps — 512/1024/2048 ch, strides 8/16/32.
+
+    Mirrors the reference's ``RetinaBackBone.encode_feats`` tap points
+    (SURVEY.md §2 item 8). ``remat`` wraps each stage in jax.checkpoint.
+    """
+
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array, Array]:
+        x = x.astype(self.dtype)
+        # Stem: 7×7/2 (torch pad=3) + BN + ReLU + 3×3/2 maxpool (torch pad=1).
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        feats = []
+        widths = (64, 128, 256, 512)
+        block_cls = Bottleneck
+        if self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        for stage_i, (n_blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for block_i in range(n_blocks):
+                stride = 2 if (block_i == 0 and stage_i > 0) else 1
+                x = block_cls(
+                    features=width, stride=stride, dtype=self.dtype,
+                    name=f"layer{stage_i + 1}_{block_i}",
+                )(x, train)
+            if stage_i >= 1:  # C3, C4, C5
+                feats.append(x)
+        return tuple(feats)  # type: ignore[return-value]
