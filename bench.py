@@ -1,0 +1,91 @@
+"""Headline benchmark: grounding queries/sec/chip on the flagship model.
+
+Protocol (the reference publishes no throughput numbers — SURVEY.md §6 —
+so this defines the V100-equivalent protocol BASELINE.md calls for):
+steady-state single-shot grounding inference — full ZSGNet retina 300²
+forward (ResNet-50+FPN, BiLSTM, fusion head) + top-anchor box decode —
+at batch 64, bf16 activations, on ONE chip. Metric: image-query pairs
+per second.
+
+``vs_baseline`` compares against an estimated PyTorch/V100 fp16 reference
+throughput for the same model class (single-stage 300² ResNet-50-FPN
+detector ≈ 150 qps sustained; the reference repo itself never measured
+throughput, and no V100 is available here — see BASELINE.md). The
+north-star target is vs_baseline > 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V100_REF_QPS = 150.0  # estimated PyTorch fp16 V100 baseline (see docstring)
+BATCH = 64
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+
+    from zsgnet_tpu.config import get_default_cfg
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
+    from zsgnet_tpu.train.evaluator import eval_batch
+
+    cfg = get_default_cfg().replace(bs=BATCH, do_dist=False)
+    model = get_default_net(cfg, vocab_size=10000)
+    anchors = None
+
+    rng = np.random.default_rng(0)
+    h, w = cfg.resize_img
+    batch = {
+        "img": jax.numpy.asarray(rng.normal(size=(BATCH, h, w, 3)).astype(np.float32)),
+        "qvec": jax.numpy.asarray(
+            rng.integers(1, 10000, size=(BATCH, cfg.max_qlen)).astype(np.int32)
+        ),
+        "qlens": jax.numpy.asarray(
+            rng.integers(3, 12, size=(BATCH,)).astype(np.int32)
+        ),
+    }
+    gt = jax.numpy.asarray(
+        np.tile(np.array([-0.5, -0.5, 0.5, 0.5], np.float32), (BATCH, 1))
+    )
+
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    anchors = jax.numpy.asarray(anchor_pyramid_for(cfg))
+
+    @jax.jit
+    def infer(variables, batch, gt):
+        out = model.apply(variables, batch, train=False)
+        ev = eval_batch(out["att_out"], out["bbx_out"], anchors, gt, 0.5)
+        return ev["pred_box"]
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(infer(variables, batch, gt))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(variables, batch, gt)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    qps = BATCH * ITERS / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "grounding_queries_per_sec_per_chip",
+                "value": round(qps, 2),
+                "unit": "qps",
+                "vs_baseline": round(qps / V100_REF_QPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

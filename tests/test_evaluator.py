@@ -1,0 +1,74 @@
+"""Evaluator tests: argmax decode, MaxPos, case breakdown, valid masking."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from zsgnet_tpu.ops import anchors as anchor_ops, boxes as box_ops
+from zsgnet_tpu.train.evaluator import Evaluator, eval_batch
+
+
+def _setup():
+    sizes = anchor_ops.feature_map_sizes((64, 64), strides=(16, 32))
+    anc = jnp.asarray(anchor_ops.create_anchors((1.0,), (1.0,), sizes))
+    return anc
+
+
+def test_eval_batch_perfect_prediction():
+    anc = _setup()
+    A = anc.shape[0]
+    gt = jnp.asarray(np.array([[-0.4, -0.4, 0.2, 0.2]], np.float32))
+    # Choose the best anchor for gt; encode gt exactly at that anchor.
+    anchor_iou = box_ops.iou_pairwise(gt, box_ops.cthw2tlbr(anc))[0]
+    best = int(jnp.argmax(anchor_iou))
+    att = np.full((1, A), -10.0, np.float32)
+    att[0, best] = 10.0
+    reg = np.zeros((1, A, 4), np.float32)
+    reg[0, best] = np.asarray(box_ops.bbox_to_reg_params(anc[best], gt[0]))
+    out = eval_batch(jnp.asarray(att), jnp.asarray(reg), anc, gt)
+    assert float(out["correct"][0]) == 1.0
+    assert float(out["iou"][0]) > 0.99
+    assert float(out["max_pos"][0]) == 1.0
+
+
+def test_eval_batch_wrong_argmax_but_maxpos_ok():
+    anc = _setup()
+    A = anc.shape[0]
+    gt = jnp.asarray(np.array([[-0.4, -0.4, 0.2, 0.2]], np.float32))
+    anchor_iou = box_ops.iou_pairwise(gt, box_ops.cthw2tlbr(anc))[0]
+    best = int(jnp.argmax(anchor_iou))
+    worst = int(jnp.argmin(anchor_iou))
+    att = np.full((1, A), -10.0, np.float32)
+    att[0, worst] = 10.0  # model scores the worst anchor highest
+    reg = np.zeros((1, A, 4), np.float32)
+    reg[0, best] = np.asarray(box_ops.bbox_to_reg_params(anc[best], gt[0]))
+    out = eval_batch(jnp.asarray(att), jnp.asarray(reg), anc, gt)
+    assert float(out["correct"][0]) == 0.0
+    assert float(out["max_pos"][0]) == 1.0  # oracle anchor would have hit
+
+
+def test_evaluator_accumulation_and_cases(tmp_path):
+    ev = Evaluator()
+    m1 = {
+        "correct": np.array([1.0, 0.0, 1.0]),
+        "max_pos": np.array([1.0, 1.0, 1.0]),
+        "iou": np.array([0.9, 0.2, 0.8]),
+        "pred_box": np.zeros((3, 4)),
+    }
+    ev.update(m1, cases=np.array([0, 0, 1]), ids=np.array([0, 1, 2]))
+    m2 = {
+        "correct": np.array([0.0, 1.0]),
+        "max_pos": np.array([0.0, 1.0]),
+        "iou": np.array([0.1, 0.7]),
+        "pred_box": np.zeros((2, 4)),
+    }
+    # second batch: last sample is padding
+    ev.update(m2, cases=np.array([1, 1]), ids=np.array([3, 4]), valid=np.array([True, False]))
+    s = ev.summarize()
+    assert s["num_samples"] == 4
+    np.testing.assert_allclose(s["Acc"], 2 / 4)
+    # case 0 → correct [1, 0]; case 1 → correct [1, 0] (padded sample dropped)
+    np.testing.assert_allclose(s["Acc_case_0"], 0.5)
+    np.testing.assert_allclose(s["Acc_case_1"], 0.5)
+    ev.dump_predictions(str(tmp_path / "p.jsonl"))
+    lines = (tmp_path / "p.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 4

@@ -80,6 +80,10 @@ class Config:
     data_axis: str = "data"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
+    # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
+    # Set automatically by the Learner when training over a mesh; makes
+    # sharded training bit-equal to the same global batch on one chip.
+    bn_sync_axis: str = ""
 
     # ------------------------------------------------------------------
     @property

@@ -1,0 +1,156 @@
+"""torch→flax weight conversion — checkpoint-compatibility with the reference.
+
+BASELINE.json's north star requires "checkpoint-convertible weights": a
+user holding (a) torchvision ImageNet ResNet-50 weights or (b) a trained
+reference ZSGNet checkpoint must be able to load them here. This module
+converts torch ``state_dict``-style mappings (as produced by
+``torch.load(...)`` on CPU — torch 2.13+cpu is installed; no torchvision
+needed, only the tensor dict) into our flax parameter pytrees.
+
+Layout rules (the SURVEY.md §7 "hard parts" this module pins down):
+  * torch Conv2d weight (O, I, kH, kW) → flax NHWC kernel (kH, kW, I, O);
+  * torch Linear weight (O, I) → flax kernel (I, O);
+  * BatchNorm: weight/bias → scale/bias params; running_mean/var →
+    batch_stats collection; eps/momentum match (1e-5 / 0.9);
+  * LSTM: torch weight_ih_l0 (4H, E) with gate order (i, f, g, o) →
+    our ``w_ih`` (E, 4H) — same gate order by construction
+    (models/bilstm.py), so conversion is a transpose; torch's two bias
+    vectors sum into our single ``bias``;
+  * Embedding: identical layout (V, E).
+
+Verification: tests/test_convert.py rebuilds torchvision's ResNet-50
+architecture in pure torch, converts random weights, and asserts
+flax forward == torch forward to ≤1e-4 (fp32, eval mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+Tensor = Any  # torch.Tensor without importing torch at module scope
+
+
+def _np(t: Tensor) -> np.ndarray:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_kernel(t: Tensor) -> np.ndarray:
+    """(O, I, kH, kW) → (kH, kW, I, O)."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def linear_kernel(t: Tensor) -> np.ndarray:
+    return _np(t).transpose(1, 0)
+
+
+def _bn(sd: Mapping[str, Tensor], prefix: str) -> tuple[dict, dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_resnet50(
+    sd: Mapping[str, Tensor], prefix: str = ""
+) -> tuple[dict, dict]:
+    """torchvision resnet50 state_dict → (params, batch_stats) subtrees
+    matching ``zsgnet_tpu.models.resnet.ResNet50`` (name=`backbone`
+    inside ZSGNet; pass the raw dict rooted at the resnet, e.g. strip a
+    ``backbone.`` prefix first via ``prefix=``).
+
+    Ignores the torchvision ``fc.*`` classifier head (ZSGNet taps
+    C3/C4/C5 only — reference `RetinaBackBone`, SURVEY.md §2 item 8).
+    """
+    p = lambda k: f"{prefix}{k}"  # noqa: E731
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": conv_kernel(sd[p("conv1.weight")])}
+    params["bn1"], stats["bn1"] = _bn(sd, p("bn1"))
+
+    stage_sizes = (3, 4, 6, 3)
+    for stage_i, n_blocks in enumerate(stage_sizes):
+        for block_i in range(n_blocks):
+            t_pre = p(f"layer{stage_i + 1}.{block_i}")
+            f_name = f"layer{stage_i + 1}_{block_i}"
+            blk_p: dict[str, Any] = {}
+            blk_s: dict[str, Any] = {}
+            for j in (1, 2, 3):
+                blk_p[f"conv{j}"] = {"kernel": conv_kernel(sd[f"{t_pre}.conv{j}.weight"])}
+                blk_p[f"bn{j}"], blk_s[f"bn{j}"] = _bn(sd, f"{t_pre}.bn{j}")
+            if f"{t_pre}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": conv_kernel(sd[f"{t_pre}.downsample.0.weight"])
+                }
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{t_pre}.downsample.1"
+                )
+            params[f_name] = blk_p
+            stats[f_name] = blk_s
+    return params, stats
+
+
+def convert_lstm_direction(
+    sd: Mapping[str, Tensor], layer: int = 0, reverse: bool = False, prefix: str = ""
+) -> dict[str, np.ndarray]:
+    """torch nn.LSTM direction weights → ``LSTMDirection`` params."""
+    sfx = f"l{layer}" + ("_reverse" if reverse else "")
+    w_ih = _np(sd[f"{prefix}weight_ih_{sfx}"]).transpose(1, 0)  # (E, 4H)
+    w_hh = _np(sd[f"{prefix}weight_hh_{sfx}"]).transpose(1, 0)  # (H, 4H)
+    bias = _np(sd[f"{prefix}bias_ih_{sfx}"]) + _np(sd[f"{prefix}bias_hh_{sfx}"])
+    return {"w_ih": w_ih, "w_hh": w_hh, "bias": bias}
+
+
+def convert_zsgnet_checkpoint(
+    sd: Mapping[str, Tensor],
+    *,
+    backbone_prefix: str = "backbone.encoder.",
+    lstm_prefix: str = "lstm.",
+    embed_key: str = "embedding.weight",
+    head_conv_prefixes: tuple[str, ...] = (),
+) -> dict[str, Any]:
+    """Full reference-ZSGNet checkpoint → partial flax variables.
+
+    The reference's module names carry [M] confidence (SURVEY.md
+    provenance warning) — the prefixes are therefore arguments with
+    best-guess defaults. Returns {"params": ..., "batch_stats": ...}
+    containing every subtree that could be converted; merge into a fresh
+    init with ``zsgnet_tpu.train.checkpoint.partial_load``.
+    """
+    out_params: dict[str, Any] = {}
+    out_stats: dict[str, Any] = {}
+
+    bb = {k[len(backbone_prefix):]: v for k, v in sd.items() if k.startswith(backbone_prefix)}
+    if bb:
+        p, s = convert_resnet50(bb)
+        out_params["backbone"] = p
+        out_stats["backbone"] = s
+
+    if embed_key in sd:
+        out_params.setdefault("query_enc", {})["embed"] = {
+            "embedding": _np(sd[embed_key])
+        }
+    lstm_keys = [k for k in sd if k.startswith(lstm_prefix)]
+    if lstm_keys:
+        lstm_sd = {k[len(lstm_prefix):]: v for k, v in sd.items() if k in lstm_keys}
+        qe = out_params.setdefault("query_enc", {})
+        qe["fwd"] = convert_lstm_direction(lstm_sd, reverse=False)
+        qe["bwd"] = convert_lstm_direction(lstm_sd, reverse=True)
+
+    for i, cp in enumerate(head_conv_prefixes):
+        w, b = sd.get(f"{cp}.weight"), sd.get(f"{cp}.bias")
+        if w is None:
+            continue
+        name = f"conv{i}" if i < len(head_conv_prefixes) - 1 else "out"
+        out_params.setdefault("head", {})[name] = {
+            "kernel": conv_kernel(w),
+            **({"bias": _np(b)} if b is not None else {}),
+        }
+
+    return {"params": out_params, "batch_stats": out_stats}

@@ -1,0 +1,300 @@
+"""CSV grounding datasets + host-side batch pipeline — static shapes.
+
+Capability parity with the reference's ``code/dat_loader.py``
+(``ImgQuDataset``, ``get_data`` → ``DataWrap``; SURVEY.md §2 item 3, §3.6),
+redesigned for the TPU input path:
+
+  * unified CSV schema shared by all dataset families
+    (ReferIt/RefClef, Flickr30k Entities + Split0/Split1, Visual Genome
+    zero-shot splits): columns ``img_id`` (path relative to the image
+    dir), ``x1 y1 x2 y2`` (pixel gt box in the ORIGINAL image frame),
+    ``query`` (pre-tokenized text), optional ``case`` (zero-shot case id,
+    -1/absent = n/a). A ``bbox`` column holding a JSON ``[x1,y1,x2,y2]``
+    list is accepted as an alternative (reference CSVs use this form);
+  * every sample is produced at a **fixed shape**: image resized to
+    ``cfg.resize_img`` (bilinear, matching PIL), queries padded to
+    ``cfg.max_qlen`` with true lengths — so the jitted train step never
+    retraces and XLA sees one static program (SURVEY.md §7);
+  * boxes are converted to the framework's internal convention:
+    normalized [-1, 1] tlbr **(y1, x1, y2, x2)** — note the reference
+    keeps pixel xyxy; normalization here means box math, anchors and the
+    coordinate grid all share one coordinate system on device;
+  * batches are plain dicts of NumPy arrays; device transfer/sharding is
+    the trainer's job (``parallel/``). A thread-pool prefetcher overlaps
+    PIL decode+resize with TPU steps (the reference uses torch DataLoader
+    worker *processes*; threads suffice here because PIL's decode/resize
+    release the GIL).
+
+ImageNet normalization constants match torchvision's, so converted
+reference checkpoints see identically-scaled inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import queue as queue_mod
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.data.vocab import Vocab
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
+    """→ (HWC float32 normalized image, original (H, W))."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        orig_w, orig_h = im.size
+        im = im.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr, (orig_h, orig_w)
+
+
+def _parse_box(row: pd.Series) -> np.ndarray:
+    """Pixel (x1, y1, x2, y2) from either 4 columns or a JSON 'bbox' col."""
+    if "bbox" in row and isinstance(row["bbox"], str):
+        vals = json.loads(row["bbox"])
+    elif "bbox" in row and isinstance(row["bbox"], (list, tuple)):
+        vals = row["bbox"]
+    else:
+        vals = [row["x1"], row["y1"], row["x2"], row["y2"]]
+    return np.asarray(vals, dtype=np.float32)
+
+
+def normalize_box_xyxy(box_xyxy: np.ndarray, orig_hw: tuple[int, int]) -> np.ndarray:
+    """Pixel xyxy (original frame) → normalized [-1,1] tlbr (y1,x1,y2,x2)."""
+    h, w = float(orig_hw[0]), float(orig_hw[1])
+    x1, y1, x2, y2 = box_xyxy
+    return np.asarray(
+        [y1 / h * 2 - 1, x1 / w * 2 - 1, y2 / h * 2 - 1, x2 / w * 2 - 1],
+        dtype=np.float32,
+    )
+
+
+class ImgQuDataset:
+    """One split of a grounding dataset backed by a CSV file.
+
+    __getitem__ returns the reference's batch-key dict (SURVEY.md §2
+    item 3): ``img`` (H, W, 3 float32), ``qvec`` (max_qlen int32),
+    ``qlens`` (int32), ``annot`` (4, normalized tlbr), ``orig_annot``
+    (4, pixel xyxy), ``img_size`` (2, original H W), ``idxs`` (int32),
+    ``case`` (int32, -1 if not a zero-shot split).
+    """
+
+    def __init__(self, csv_path: str | Path, image_dir: str | Path, vocab: Vocab, cfg: Config):
+        self.df = pd.read_csv(csv_path)
+        if "query" not in self.df.columns:
+            raise ValueError(f"{csv_path}: CSV must have a 'query' column")
+        self.image_dir = Path(image_dir)
+        self.vocab = vocab
+        self.cfg = cfg
+        self.has_case = "case" in self.df.columns
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def queries(self) -> list[str]:
+        return [str(q) for q in self.df["query"]]
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        row = self.df.iloc[i]
+        img, orig_hw = _load_image(self.image_dir / str(row["img_id"]), self.cfg.resize_img)
+        box_xyxy = _parse_box(row)
+        annot = normalize_box_xyxy(box_xyxy, orig_hw)
+        ids, qlen = self.vocab.encode(str(row["query"]), self.cfg.max_qlen)
+        return {
+            "img": img,
+            "qvec": np.asarray(ids, dtype=np.int32),
+            "qlens": np.int32(qlen),
+            "annot": annot,
+            "orig_annot": box_xyxy,
+            "img_size": np.asarray(orig_hw, dtype=np.float32),
+            "idxs": np.int32(i),
+            "case": np.int32(row["case"]) if self.has_case else np.int32(-1),
+        }
+
+
+def collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    """Stack a list of sample dicts into one batch dict (reference 'collater')."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchLoader:
+    """Deterministic, shardable, prefetching batch iterator.
+
+    Replaces torch DataLoader + DistributedSampler (SURVEY.md §2 item 11):
+      * epoch ``e`` has a deterministic permutation seeded by
+        (seed, e) — every host computes the same order;
+      * ``shard_id/num_shards`` slice the *batch index space* so each host
+        of a multi-host job reads disjoint batches (per-host Grain-style
+        sharding);
+      * ``drop_last=False`` pads the tail batch by wrapping and emits a
+        ``valid`` mask — eval stays exact while shapes stay static;
+      * ``nw`` decode threads prefetch ``prefetch_depth`` batches ahead.
+    """
+
+    def __init__(
+        self,
+        ds: ImgQuDataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        nw: int = 4,
+        drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        prefetch_depth: int = 2,
+    ):
+        self.ds = ds
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.nw = max(1, nw)
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch_depth = prefetch_depth
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        if self.drop_last:
+            n_full = n // self.bs
+            batches = [order[i * self.bs : (i + 1) * self.bs] for i in range(n_full)]
+        else:
+            batches = []
+            for i in range(0, n, self.bs):
+                chunk = order[i : i + self.bs]
+                if len(chunk) < self.bs:  # wrap-pad; mask marks the tail
+                    pad = order[: self.bs - len(chunk)]
+                    chunk = np.concatenate([chunk, pad])
+                batches.append(chunk)
+        return batches[self.shard_id :: self.num_shards]
+
+    def __len__(self) -> int:
+        return len(self._batch_indices())
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        n = len(self.ds)
+        real_count = n - (len(batches) - 1) * self.bs if batches else 0
+
+        def make(bi: int, idxs: np.ndarray) -> dict[str, np.ndarray]:
+            samples = [self.ds[int(i)] for i in idxs]
+            batch = collate(samples)
+            if not self.drop_last and bi == len(batches) - 1 and self.num_shards == 1:
+                valid = np.arange(self.bs) < real_count
+            else:
+                valid = np.ones(self.bs, dtype=bool)
+            batch["valid"] = valid
+            return batch
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer() -> None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.nw) as pool:
+                futures = [pool.submit(make, bi, idxs) for bi, idxs in enumerate(batches)]
+                for f in futures:
+                    if stop.is_set():
+                        for g in futures:
+                            g.cancel()
+                        return
+                    q.put(f.result())
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+@dataclass
+class DataWrap:
+    """Reference-API-compatible bundle (``code/utils.py`` DataWrap)."""
+
+    path: Path
+    train_dl: BatchLoader
+    valid_dl: BatchLoader
+    test_dl: BatchLoader | None
+    vocab: Vocab
+
+
+# Dataset registry: name → (csv subdir, image subdir). All families share the
+# unified CSV schema; zero-shot splits add the 'case' column.
+DATASET_LAYOUT = {
+    "refclef": ("refclef/csv_dir", "refclef/images"),
+    "flickr30k": ("flickr30k/csv_dir", "flickr30k/images"),
+    "flickr_split0": ("flickr30k_c0/csv_dir", "flickr30k/images"),
+    "flickr_split1": ("flickr30k_c1/csv_dir", "flickr30k/images"),
+    "vg_split_c2": ("vg_split_c2/csv_dir", "visual_genome/images"),
+    "vg_split_c3": ("vg_split_c3/csv_dir", "visual_genome/images"),
+    "synthetic": ("synthetic/csv_dir", "synthetic/images"),
+}
+
+
+def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
+    """Build train/val/test loaders + vocab (reference ``get_data(cfg)``).
+
+    Expects ``<data_dir>/<ds subdir>/{train,val,test}.csv`` and the image
+    dir per :data:`DATASET_LAYOUT`. The vocab is built from train queries
+    and cached as ``vocab.json`` beside the CSVs.
+    """
+    if cfg.ds_to_use not in DATASET_LAYOUT:
+        raise ValueError(
+            f"unknown ds_to_use={cfg.ds_to_use!r}; known: {sorted(DATASET_LAYOUT)}"
+        )
+    csv_sub, img_sub = DATASET_LAYOUT[cfg.ds_to_use]
+    root = Path(cfg.data_dir)
+    csv_dir, img_dir = root / csv_sub, root / img_sub
+
+    vocab_path = csv_dir / "vocab.json"
+    if vocab_path.exists():
+        vocab = Vocab.load(vocab_path)
+    else:
+        train_df = pd.read_csv(csv_dir / "train.csv")
+        vocab = Vocab.build(str(q) for q in train_df["query"])
+        vocab.save(vocab_path)
+
+    def loader(split: str, shuffle: bool, drop_last: bool) -> BatchLoader | None:
+        csv_path = csv_dir / f"{split}.csv"
+        if not csv_path.exists():
+            return None
+        ds = ImgQuDataset(csv_path, img_dir, vocab, cfg)
+        return BatchLoader(
+            ds, cfg.bs, shuffle=shuffle, seed=cfg.seed, nw=cfg.nw,
+            drop_last=drop_last, shard_id=shard_id, num_shards=num_shards,
+            prefetch_depth=cfg.prefetch_depth,
+        )
+
+    train_dl = loader("train", shuffle=True, drop_last=True)
+    valid_dl = loader("val", shuffle=False, drop_last=False)
+    test_dl = loader("test", shuffle=False, drop_last=False)
+    if train_dl is None or valid_dl is None:
+        raise FileNotFoundError(f"missing train.csv/val.csv under {csv_dir}")
+    return DataWrap(path=root, train_dl=train_dl, valid_dl=valid_dl, test_dl=test_dl, vocab=vocab)

@@ -1,0 +1,75 @@
+"""CLI entry point — reference ``code/main_dist.py`` parity (SURVEY.md §2 #1).
+
+Usage mirrors the reference:
+
+    python -m zsgnet_tpu.main <uid> --ds_to_use=refclef --bs=16 --lr=1e-4
+    python -m zsgnet_tpu.main <uid> --only_val=True --resume=True
+
+Every ``--key=value`` flag is a Config override (reference key names and
+aliases accepted — see ``zsgnet_tpu.config.KEY_MAPS``).
+
+Multi-chip is automatic: there is no ``torch.distributed.launch``
+equivalent to invoke — one process drives all local chips through the
+jitted SPMD program. On multi-host pods, launch one process per host with
+``--multi_host=True`` (calls ``jax.distributed.initialize``); batches are
+host-sharded by process index, gradients psum over ICI/DCN inside the
+compiled step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from zsgnet_tpu.config import get_default_cfg
+from zsgnet_tpu.data.dataset import get_data
+from zsgnet_tpu.train.learner import Learner
+
+
+def parse_args(argv: list[str]) -> tuple[str, dict[str, str], bool]:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("uid", help="experiment id (logs/checkpoints key)")
+    parser.add_argument("--multi_host", default="False")
+    known, unknown = parser.parse_known_args(argv)
+    overrides: dict[str, str] = {}
+    for tok in unknown:
+        if not tok.startswith("--") or "=" not in tok:
+            raise SystemExit(f"flags must be --key=value, got: {tok}")
+        k, v = tok[2:].split("=", 1)
+        overrides[k] = v
+    return known.uid, overrides, known.multi_host.lower() in ("1", "true")
+
+
+def main_dist(uid: str, **kwargs) -> dict[str, float]:
+    """Programmatic entry (reference ``main_dist(uid, **kwargs)``)."""
+    cfg = get_default_cfg().replace(uid=uid, **kwargs)
+    np.random.seed(cfg.seed)
+
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    data = get_data(cfg, shard_id=shard_id, num_shards=num_shards)
+    learn = Learner(uid, data, cfg)
+
+    if cfg.only_val:
+        metrics = learn.validate()
+    elif cfg.only_test:
+        metrics = learn.testing()
+    else:
+        learn.fit(cfg.epochs, cfg.lr)
+        metrics = learn.validate()
+    if jax.process_index() == 0:
+        print({k: round(v, 4) for k, v in metrics.items()})
+    return metrics
+
+
+def main() -> None:
+    uid, overrides, multi_host = parse_args(sys.argv[1:])
+    if multi_host:
+        jax.distributed.initialize()
+    main_dist(uid, **overrides)
+
+
+if __name__ == "__main__":
+    main()

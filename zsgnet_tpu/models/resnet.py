@@ -35,6 +35,7 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4*features
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    bn_axis: str | None = None  # mesh axis for sync-BN under shard_map
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -44,6 +45,7 @@ class Bottleneck(nn.Module):
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            axis_name=self.bn_axis,
             name=name,
         )
         conv = lambda f, k, s, name, pad: nn.Conv(  # noqa: E731
@@ -73,6 +75,7 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array, Array]:
@@ -84,7 +87,8 @@ class ResNet50(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32, name="bn1",
+            dtype=self.dtype, param_dtype=jnp.float32, axis_name=self.bn_axis,
+            name="bn1",
         )(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
@@ -100,7 +104,7 @@ class ResNet50(nn.Module):
                 stride = 2 if (block_i == 0 and stage_i > 0) else 1
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
-                    name=f"layer{stage_i + 1}_{block_i}",
+                    bn_axis=self.bn_axis, name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
             if stage_i >= 1:  # C3, C4, C5
                 feats.append(x)

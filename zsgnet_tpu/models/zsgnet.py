@@ -90,9 +90,10 @@ class ZSGNet(nn.Module):
 
         # --- visual stream ---
         if cfg.mdl_to_use == "retina":
-            c_feats = ResNet50(dtype=dtype, remat=cfg.remat_backbone, name="backbone")(
-                inp["img"], train
-            )
+            c_feats = ResNet50(
+                dtype=dtype, remat=cfg.remat_backbone,
+                bn_axis=cfg.bn_sync_axis or None, name="backbone",
+            )(inp["img"], train)
             feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
         elif cfg.mdl_to_use == "ssd_vgg":
             feats = SSDVGG16(dtype=dtype, name="backbone")(inp["img"], train)

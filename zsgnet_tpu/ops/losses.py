@@ -77,6 +77,7 @@ def zsg_loss(
     gamma: float = 2.0,
     use_focal: bool = True,
     use_softmax: bool = False,
+    axis_name: str | None = None,
 ) -> dict[str, Array]:
     """Total grounding loss over one batch — fully masked, static shapes.
 
@@ -94,11 +95,24 @@ def zsg_loss(
 
     Returns dict: total, cls_ls, box_ls, num_pos — matching the
     reference's sub-loss logging dict (SURVEY.md §2 item 5).
+
+    ``axis_name``: when the loss runs inside ``shard_map`` over a data
+    mesh, pass the mesh axis so normalization uses the GLOBAL positive
+    count (psum). The per-shard values then sum (lax.psum) to exactly the
+    loss/gradient of the equivalent single-device global batch — stronger
+    than DDP's per-replica normalization, whose effective loss depends on
+    how positives land across replicas.
     """
     labels = labels.astype(jnp.int32)
     pos = (labels == 1).astype(jnp.float32)  # (B, A)
     valid = (labels != -1).astype(jnp.float32)  # non-ignored
-    num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    num_pos_local = jnp.sum(pos)
+    if axis_name is not None:
+        num_pos = jnp.maximum(jax.lax.psum(num_pos_local, axis_name), 1.0)
+        global_bs = att_logits.shape[0] * jax.lax.psum(1, axis_name)
+    else:
+        num_pos = jnp.maximum(num_pos_local, 1.0)
+        global_bs = att_logits.shape[0]
 
     if use_softmax:
         # Softmax over anchors: target distribution uniform over positives.
@@ -108,7 +122,7 @@ def zsg_loss(
         )
         logp = logits32 - logz
         tgt = pos / jnp.maximum(jnp.sum(pos, axis=-1, keepdims=True), 1.0)
-        cls_ls = -jnp.sum(tgt * logp * valid) / att_logits.shape[0]
+        cls_ls = -jnp.sum(tgt * logp * valid) / global_bs
     else:
         elem = (
             sigmoid_focal_loss(att_logits, pos, alpha, gamma)
@@ -125,5 +139,5 @@ def zsg_loss(
         "total": total,
         "cls_ls": cls_ls,
         "box_ls": box_ls,
-        "num_pos": jnp.sum(pos),
+        "num_pos": num_pos_local,
     }

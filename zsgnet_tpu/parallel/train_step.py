@@ -1,0 +1,239 @@
+"""Jitted train/eval steps — one XLA program, shard_map over the data mesh.
+
+This is the TPU-native replacement for the reference's DDP training
+internals (SURVEY.md §2 item 11, §3.1): where DDP hooks gradient-bucket
+allreduces into backward, here the whole step — forward, loss, backward,
+``lax.pmean`` of grads over ICI, optimizer update, metric pmean — is ONE
+``jax.jit``-compiled SPMD program via ``shard_map``. XLA overlaps the
+gradient collectives with remaining backward compute the same way DDP
+bucket overlap does, but with compiler-global visibility.
+
+Design:
+  * params/opt_state replicated (P()), batch sharded on the leading axis
+    (P('data')) — pure data parallelism, matching the reference's scheme;
+  * BatchNorm runs in sync-BN mode: per-shard batch stats are pmean-ed
+    before the running-stat update (better than DDP's default per-replica
+    BN, free on ICI);
+  * buffers donated (``donate_argnums``) so params/opt_state update
+    in-place in HBM;
+  * loss in fp32, grads in fp32 (params are fp32; bf16 is activation-only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.ops import anchors as anchor_ops
+from zsgnet_tpu.ops import losses
+from zsgnet_tpu.train.evaluator import eval_batch
+
+Array = jnp.ndarray
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam (reference default) with optional weight decay / grad clip."""
+    if cfg.opt_to_use == "adam":
+        tx = (
+            optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+            if cfg.weight_decay > 0
+            else optax.adam(cfg.lr)
+        )
+    elif cfg.opt_to_use == "sgd":
+        tx = optax.sgd(cfg.lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown opt_to_use: {cfg.opt_to_use}")
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def create_train_state(cfg: Config, model, sample_batch: dict, rng: jax.Array) -> TrainState:
+    """Initialize params/optimizer — init is jitted (eager init over the
+    device tunnel costs minutes; see .claude/skills/verify/SKILL.md)."""
+
+    @jax.jit
+    def init(rng, batch):
+        return model.init(rng, batch, train=False)
+
+    variables = init(rng, sample_batch)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def _device_batch(batch: dict[str, Array]) -> dict[str, Array]:
+    """Keys the jitted step consumes (drops host-only metadata)."""
+    keep = ("img", "qvec", "qlens", "annot")
+    return {k: batch[k] for k in keep}
+
+
+def _use_fused_loss(cfg: Config) -> bool:
+    """Pallas fused loss: focal path only, on the TPU backend, with a
+    batch the (8, 512) kernel tiling divides. Everything else falls back
+    to the jnp reference implementation (identical semantics)."""
+    if not (cfg.use_focal and not cfg.use_softmax and cfg.use_pallas):
+        return False
+    per_device_bs = cfg.bs
+    if cfg.do_dist:
+        import jax
+
+        n = jax.device_count()
+        if cfg.bs % max(n, 1):
+            return False
+        per_device_bs = cfg.bs // n
+    if per_device_bs % 8:
+        return False
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
+def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
+    """Build the jitted train step: (state, batch) → (state, metrics).
+
+    With a mesh, the step is a shard_map SPMD program over the 'data'
+    axis; without (single device), the same math runs unsharded. Batch
+    arrays must have leading dim divisible by the mesh size.
+    """
+    anchors_const = jnp.asarray(anchors_cthw)
+    axis = cfg.data_axis if mesh is not None else None
+    use_fused = _use_fused_loss(cfg)
+    if use_fused:
+        from zsgnet_tpu.ops.pallas.fused_loss import pack_anchors
+
+        anchors_packed = jnp.asarray(pack_anchors(anchors_cthw))
+
+    def compute_loss(out, annot):
+        if use_fused:
+            from zsgnet_tpu.ops.pallas.fused_loss import zsg_loss_fused
+
+            return zsg_loss_fused(
+                out["att_out"], out["bbx_out"], anchors_packed, annot,
+                num_anchors=anchors_const.shape[0], lamb_reg=cfg.lamb_reg,
+                match_thr=cfg.matching_threshold, neg_thr=cfg.neg_threshold,
+                alpha=cfg.focal_alpha, gamma=cfg.focal_gamma, axis_name=axis,
+            )
+        labels, reg_t = anchor_ops.match_and_encode(
+            anchors_const, annot, cfg.matching_threshold, cfg.neg_threshold
+        )
+        return losses.zsg_loss(
+            out["att_out"], out["bbx_out"], labels, reg_t,
+            lamb_reg=cfg.lamb_reg, alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
+            use_focal=cfg.use_focal, use_softmax=cfg.use_softmax,
+            axis_name=axis,
+        )
+
+    def loss_fn(params, batch_stats, batch, apply_fn):
+        if batch_stats:
+            out, new_vars = apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                _device_batch(batch), train=True, mutable=["batch_stats"],
+            )
+            new_stats = new_vars["batch_stats"]
+        else:
+            out = apply_fn({"params": params}, _device_batch(batch), train=True)
+            new_stats = batch_stats
+        ls = compute_loss(out, batch["annot"])
+        return ls["total"], (ls, new_stats)
+
+    def step_shard(state: TrainState, batch: dict[str, Array]):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (ls, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, state.apply_fn
+        )
+        if mesh is not None:
+            # Per-shard losses are global-normalized partials: psum makes
+            # grads/metrics EXACTLY equal the single-device global batch.
+            grads = jax.lax.psum(grads, axis)
+            ls = jax.lax.psum(ls, axis)  # num_pos: local sums → global count
+            if new_stats:
+                new_stats = jax.lax.pmean(new_stats, axis)  # sync-BN running stats
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, ls
+
+    if mesh is None:
+        return jax.jit(step_shard, donate_argnums=0)
+
+    state_spec = P()
+    batch_spec = P(axis)
+    sharded = shard_map(
+        step_shard,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
+    """Jitted eval step: (state, batch) → per-sample metric dict.
+
+    Per-sample outputs stay sharded over 'data' (no gather — the host
+    reads the global array which jax assembles across shards).
+    """
+    anchors_const = jnp.asarray(anchors_cthw)
+
+    def run(state: TrainState, batch: dict[str, Array]):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = state.apply_fn(variables, _device_batch(batch), train=False)
+        ev = eval_batch(
+            out["att_out"], out["bbx_out"], anchors_const, batch["annot"],
+            cfg.acc_iou_threshold,
+        )
+        labels, reg_t = anchor_ops.match_and_encode(
+            anchors_const, batch["annot"], cfg.matching_threshold, cfg.neg_threshold
+        )
+        ls = losses.zsg_loss(
+            out["att_out"], out["bbx_out"], labels, reg_t,
+            lamb_reg=cfg.lamb_reg, use_focal=cfg.use_focal, use_softmax=cfg.use_softmax,
+        )
+        ev["loss"] = jnp.broadcast_to(ls["total"], ev["iou"].shape)
+        return ev
+
+    if mesh is None:
+        return jax.jit(run)
+
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(cfg.data_axis)),
+        out_specs=P(cfg.data_axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,259 @@
+"""Learner — the training/eval runtime (reference ``code/utils.py`` L5).
+
+Capability parity with the reference's fastai-inspired hand-rolled
+trainer (SURVEY.md §2 item 10): ``Learner(uid, data, cfg).fit(epochs,
+lr)``, per-epoch ``validate()``, ``testing()``, smoothed-loss readout
+(``SmoothenValue``), best-checkpoint-by-val-Acc, resume (strict or
+partial), epoch-row metric logs, prediction dumps, overfit-batch debug
+mode — rebuilt around one jitted SPMD step:
+
+  * train loop: host thread feeds prefetched NumPy batches; the device
+    runs ``make_train_step``'s single compiled program (forward, loss,
+    backward, ICI grad-pmean, Adam update). No per-step host sync: the
+    loss is fetched every ``log_every`` steps;
+  * validation: static-shape eval with wrap-padded tail + valid mask →
+    exact metrics despite fixed batch shapes;
+  * logging: epoch rows as JSONL under ``tmp/logs/<uid>.jsonl`` plus
+    stdout table (rank-0 only, multi-host safe);
+  * checkpoints under ``tmp/models/<uid>/`` via Orbax; best-by-val-Acc
+    with latest-resume.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.data.dataset import DataWrap
+from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
+from zsgnet_tpu.parallel.mesh import batch_sharding, is_main_process, make_mesh
+from zsgnet_tpu.parallel.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from zsgnet_tpu.train.checkpoint import CheckpointManager, partial_load
+from zsgnet_tpu.train.evaluator import Evaluator
+
+
+class SmoothenValue:
+    """EMA of a scalar (the reference's smoothed-loss progress readout)."""
+
+    def __init__(self, beta: float = 0.9):
+        self.beta, self.n, self.mov_avg = beta, 0, 0.0
+        self.smooth = 0.0
+
+    def add_value(self, val: float) -> None:
+        self.n += 1
+        self.mov_avg = self.beta * self.mov_avg + (1 - self.beta) * val
+        self.smooth = self.mov_avg / (1 - self.beta ** self.n)
+
+
+class Learner:
+    def __init__(self, uid: str, data: DataWrap, cfg: Config, mesh=None):
+        self.uid = uid
+        self.data = data
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else (make_mesh(cfg) if cfg.do_dist else None)
+
+        tmp = Path(cfg.tmp_path)
+        self.log_dir = tmp / "logs"
+        self.model_dir = tmp / "models" / uid
+        self.pred_dir = tmp / "predictions"
+        for d in (self.log_dir, self.model_dir, self.pred_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        self.log_file = self.log_dir / f"{uid}.jsonl"
+
+        # Under a mesh, BatchNorm syncs batch moments over ICI so sharded
+        # training matches the same global batch on one chip exactly.
+        model_cfg = (
+            cfg.replace(bn_sync_axis=cfg.data_axis) if self.mesh is not None else cfg
+        )
+        self.model = get_default_net(model_cfg, vocab_size=len(data.vocab))
+        self.anchors = anchor_pyramid_for(cfg)
+        sample = next(iter(data.valid_dl))
+        self.state = self._replicate(
+            create_train_state(
+                cfg, self.model, self._shard(self._device_view(sample)),
+                jax.random.PRNGKey(cfg.seed),
+            )
+        )
+        self.train_step = make_train_step(cfg, self.anchors, self.mesh)
+        self.eval_step = make_eval_step(cfg, self.anchors, self.mesh)
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.best_metric = -1.0
+        self.epoch = 0
+        if cfg.resume:
+            self.load_model_dict(cfg.resume_path or None, strict=cfg.load_normally)
+
+    # ------------------------------------------------------------------
+    def _device_view(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
+        keep = ("img", "qvec", "qlens", "annot")
+        return {k: batch[k] for k in keep}
+
+    def _shard(self, batch: dict[str, Any]) -> dict[str, Any]:
+        if self.mesh is None:
+            return jax.device_put(batch)
+        sh = batch_sharding(self.mesh, self.cfg)
+        return jax.device_put(batch, sh)
+
+    def _replicate(self, state):
+        """Place the train state replicated over the mesh (fresh init and
+        checkpoint restores land on one device otherwise, and the jitted
+        SPMD step rejects mixed placements)."""
+        if self.mesh is None:
+            return state
+        from zsgnet_tpu.parallel.mesh import replicated_sharding
+
+        sh = replicated_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, sh), state)
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: int | None = None, lr: float | None = None) -> None:
+        """Train for ``epochs`` (cfg.epochs default), validating per epoch."""
+        cfg = self.cfg
+        if lr is not None and lr != cfg.lr:
+            # Rebuild optimizer at the new lr (reference allows fit(e, lr)).
+            self.cfg = cfg = cfg.replace(lr=lr)
+            from zsgnet_tpu.parallel.train_step import make_optimizer
+
+            tx = make_optimizer(cfg)
+            self.state = self.state.replace(tx=tx, opt_state=tx.init(self.state.params))
+            self.train_step = make_train_step(cfg, self.anchors, self.mesh)
+        epochs = epochs or cfg.epochs
+
+        smooth = SmoothenValue()
+        for _ in range(epochs):
+            self.data.train_dl.set_epoch(self.epoch)
+            t0 = time.time()
+            n_batches = 0
+            last_ls: dict[str, Any] = {}
+            for batch in self.data.train_dl:
+                sharded = self._shard(self._device_view(batch))
+                self.state, ls = self.train_step(self.state, sharded)
+                n_batches += 1
+                if n_batches % cfg.log_every == 0:
+                    val = float(ls["total"])
+                    smooth.add_value(val)
+                    last_ls = {k: float(v) for k, v in ls.items()}
+            train_time = time.time() - t0
+            metrics = self.validate()
+            row = {
+                "epoch": self.epoch,
+                "step": int(self.state.step),
+                "train_loss_smooth": smooth.smooth,
+                **{f"train_{k}": v for k, v in last_ls.items()},
+                **{f"val_{k}": v for k, v in metrics.items()},
+                "train_time_s": round(train_time, 2),
+                "qps": round(n_batches * cfg.bs / max(train_time, 1e-9), 2),
+            }
+            self._log_row(row)
+            acc = metrics.get("Acc", 0.0)
+            if acc >= self.best_metric:
+                self.best_metric = acc
+                self.save_model_dict(best=True)
+            elif self.epoch % cfg.ckpt_every_epochs == 0:
+                self.save_model_dict(best=False)
+            self.epoch += 1
+
+    # ------------------------------------------------------------------
+    def _run_eval(self, dl, dump: str | None = None) -> dict[str, float]:
+        evaluator = Evaluator(self.cfg.acc_iou_threshold)
+        for batch in dl:
+            sharded = self._shard(self._device_view(batch))
+            ev = self.eval_step(self.state, sharded)
+            evaluator.update(
+                {k: np.asarray(v) for k, v in ev.items()},
+                cases=batch.get("case"),
+                ids=batch.get("idxs"),
+                valid=batch.get("valid"),
+            )
+        summary = evaluator.summarize()
+        if dump and is_main_process():
+            evaluator.dump_predictions(str(self.pred_dir / f"{self.uid}_{dump}.jsonl"))
+        return summary
+
+    def validate(self) -> dict[str, float]:
+        return self._run_eval(self.data.valid_dl, dump="val")
+
+    def testing(self) -> dict[str, float]:
+        if self.data.test_dl is None:
+            raise ValueError("no test split for this dataset")
+        return self._run_eval(self.data.test_dl, dump="test")
+
+    def overfit_batch(self, steps: int = 100) -> tuple[float, float]:
+        """Debug mode: drive loss → 0 on one fixed batch (reference [L]).
+
+        Returns (first_step_loss, last_step_loss). Note the state passed to
+        the jitted step is donated — never reuse a pre-step state object.
+        """
+        batch = next(iter(self.data.train_dl))
+        sharded = self._shard(self._device_view(batch))
+        first = last = float("inf")
+        for i in range(steps):
+            self.state, ls = self.train_step(self.state, sharded)
+            last = float(ls["total"])
+            if i == 0:
+                first = last
+        return first, last
+
+    # ------------------------------------------------------------------
+    def save_model_dict(self, best: bool = False) -> None:
+        if not is_main_process():
+            return
+        payload = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": int(self.state.step),
+            "epoch": self.epoch,
+            "best_metric": self.best_metric,
+        }
+        self.ckpt.save(int(self.state.step), payload)
+        if best:
+            (self.model_dir / "best_step.txt").write_text(str(int(self.state.step)))
+
+    def load_model_dict(self, path: str | None = None, strict: bool = True) -> None:
+        mngr = self.ckpt if path is None else CheckpointManager(path)
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": 0,
+            "epoch": 0,
+            "best_metric": 0.0,
+        }
+        if strict:
+            restored = mngr.restore(template=template)
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            stats = restored["batch_stats"]
+        else:
+            restored = mngr.restore()
+            params = partial_load(self.state.params, restored["params"])
+            opt_state = self.state.opt_state  # fresh optimizer on warm start
+            stats = self.state.batch_stats
+        self.state = self._replicate(
+            self.state.replace(
+                params=params, opt_state=opt_state, batch_stats=stats,
+                step=jax.numpy.asarray(restored.get("step", 0), jax.numpy.int32),
+            )
+        )
+        self.epoch = int(restored.get("epoch", 0))
+        self.best_metric = float(restored.get("best_metric", -1.0))
+
+    # ------------------------------------------------------------------
+    def _log_row(self, row: dict[str, Any]) -> None:
+        if not is_main_process():
+            return
+        with open(self.log_file, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        keys = ("epoch", "train_loss_smooth", "val_Acc", "val_MaxPos", "qps")
+        print("  ".join(f"{k}={row[k]:.4g}" if isinstance(row.get(k), float) else f"{k}={row.get(k)}" for k in keys))
