@@ -33,12 +33,11 @@ def main() -> None:
     import jax
 
     from zsgnet_tpu.config import get_default_cfg
-    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
-    from zsgnet_tpu.train.evaluator import eval_batch
+    from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
+    from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 
     cfg = get_default_cfg().replace(bs=BATCH, do_dist=False)
     model = get_default_net(cfg, vocab_size=10000)
-    anchors = None
 
     rng = np.random.default_rng(0)
     h, w = cfg.resize_img
@@ -51,26 +50,25 @@ def main() -> None:
             rng.integers(3, 12, size=(BATCH,)).astype(np.int32)
         ),
     }
-    gt = jax.numpy.asarray(
-        np.tile(np.array([-0.5, -0.5, 0.5, 0.5], np.float32), (BATCH, 1))
-    )
 
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), batch
     )
-    anchors = jax.numpy.asarray(anchor_pyramid_for(cfg))
+    anchor_comps = anchor_components_for(cfg)
 
     @jax.jit
-    def infer(variables, batch, gt):
+    def infer(variables, batch):
         out = model.apply(variables, batch, train=False)
-        ev = eval_batch(out["att_out"], out["bbx_out"], anchors, gt, 0.5)
-        return ev["pred_box"]
+        pred_box, score = decode_best_box_levels(
+            out["att_levels"], out["delta_levels"], anchor_comps
+        )
+        return pred_box, score
 
     for _ in range(WARMUP):
-        jax.block_until_ready(infer(variables, batch, gt))
+        jax.block_until_ready(infer(variables, batch))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = infer(variables, batch, gt)
+        out = infer(variables, batch)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     qps = BATCH * ITERS / dt

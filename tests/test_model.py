@@ -124,3 +124,82 @@ def test_bilstm_matches_torch(rng):
     _, h_bwd = bwd.apply({"params": torch_params(True)}, xj, lj)
     got = np.concatenate([np.asarray(h_fwd), np.asarray(h_bwd)], axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_decomposed_fusion_head_matches_concat_conv(rng):
+    """PredictionHead's decomposed first conv must equal the naive
+    'concat [vis|lang|grid] then 3x3 conv' formulation exactly."""
+    import jax.numpy as jnp
+    from zsgnet_tpu.models.zsgnet import PredictionHead
+    from zsgnet_tpu.ops import anchors as anchor_ops
+
+    B, H, W, CV, CL, MID = 2, 7, 5, 8, 12, 16
+    head = PredictionHead(
+        num_anchors=9, vis_ch=CV, lang_ch=CL, mid_ch=MID, depth=1,
+        dtype=jnp.float32,
+    )
+    vis = jnp.asarray(rng.normal(size=(B, H, W, CV)).astype(np.float32))
+    lang = jnp.asarray(rng.normal(size=(B, CL)).astype(np.float32))
+    grid = jnp.asarray(anchor_ops.create_grid((H, W), flatten=False))
+    variables = head.init(jax.random.PRNGKey(1), vis, lang, grid)
+    got = head.apply(variables, vis, lang, grid)
+
+    # Naive oracle: concat + conv with the same kernel, then the same tail.
+    kernel = variables["params"]["conv0_kernel"]
+    bias0 = variables["params"]["conv0_bias"]
+    fused = jnp.concatenate(
+        [vis, jnp.broadcast_to(lang[:, None, None, :], (B, H, W, CL)),
+         jnp.broadcast_to(grid[None], (B, H, W, 2))], axis=-1,
+    )
+    y = jax.lax.conv_general_dilated(
+        fused, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias0
+    x = jnp.maximum(y, 0.0)
+    k_out = variables["params"]["out"]["kernel"]
+    b_out = variables["params"]["out"]["bias"]
+    want = jax.lax.conv_general_dilated(
+        x, k_out, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b_out
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_decomposed_head_tiny_maps(rng):
+    """Border-mask corrections must be right for 1x1 and 1xW maps."""
+    import jax.numpy as jnp
+    from zsgnet_tpu.models.zsgnet import PredictionHead
+    from zsgnet_tpu.ops import anchors as anchor_ops
+
+    for (H, W) in ((1, 1), (1, 4), (3, 1), (2, 2)):
+        B, CV, CL, MID = 2, 4, 6, 8
+        head = PredictionHead(
+            num_anchors=2, vis_ch=CV, lang_ch=CL, mid_ch=MID, depth=1,
+            dtype=jnp.float32,
+        )
+        vis = jnp.asarray(rng.normal(size=(B, H, W, CV)).astype(np.float32))
+        lang = jnp.asarray(rng.normal(size=(B, CL)).astype(np.float32))
+        grid = jnp.asarray(anchor_ops.create_grid((H, W), flatten=False))
+        variables = head.init(jax.random.PRNGKey(0), vis, lang, grid)
+        got = head.apply(variables, vis, lang, grid)
+        kernel = variables["params"]["conv0_kernel"]
+        bias0 = variables["params"]["conv0_bias"]
+        fused = jnp.concatenate(
+            [vis, jnp.broadcast_to(lang[:, None, None, :], (B, H, W, CL)),
+             jnp.broadcast_to(grid[None], (B, H, W, 2))], axis=-1,
+        )
+        y = jax.lax.conv_general_dilated(
+            fused, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias0
+        x = jnp.maximum(y, 0.0)
+        k_out = variables["params"]["out"]["kernel"]
+        b_out = variables["params"]["out"]["bias"]
+        want = jax.lax.conv_general_dilated(
+            x, k_out, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_out
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4,
+            err_msg=f"H={H} W={W}",
+        )

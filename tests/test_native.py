@@ -1,0 +1,96 @@
+"""Native C++ image pipeline vs PIL reference — byte-level parity.
+
+Pillow resamples in 8-bit fixed point; the native path uses float64, so
+per-pixel differences up to ~2/255 (pre-normalization) are expected and
+asserted. PNG decode itself must be exact.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from zsgnet_tpu.data import native
+from zsgnet_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no compiler?)"
+)
+
+
+def _png_bytes(arr: np.ndarray, mode: str = "RGB") -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _pil_reference(png: bytes, out_hw):
+    with Image.open(io.BytesIO(png)) as im:
+        im = im.convert("RGB")
+        orig = (im.size[1], im.size[0])
+        im = im.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+        arr = np.asarray(im, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD, orig
+
+
+@pytest.mark.parametrize("shape", [(97, 121), (64, 64), (300, 200)])
+def test_png_load_matches_pil_rgb(rng, shape):
+    arr = rng.integers(0, 256, size=(*shape, 3)).astype(np.uint8)
+    png = _png_bytes(arr)
+    got, orig = native.png_load(png, (64, 64), IMAGENET_MEAN, IMAGENET_STD)
+    want, orig_w = _pil_reference(png, (64, 64))
+    assert orig == orig_w == shape
+    # ≤2/255 pre-normalization → ≤2/255/std post-normalization
+    tol = 2.5 / 255.0 / IMAGENET_STD.min()
+    np.testing.assert_allclose(got, want, atol=tol)
+
+
+def test_png_decode_exact_at_native_size(rng):
+    """No resize (out == in) isolates the decoder: must match PIL exactly
+    up to resampling identity (scale=1 triangle filter is identity)."""
+    arr = rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    png = _png_bytes(arr)
+    got, _ = native.png_load(png, (40, 56), IMAGENET_MEAN, IMAGENET_STD)
+    want = (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_png_grayscale_and_rgba(rng):
+    gray = rng.integers(0, 256, size=(30, 30)).astype(np.uint8)
+    got, _ = native.png_load(_png_bytes(gray, "L"), (30, 30), IMAGENET_MEAN, IMAGENET_STD)
+    want = (np.repeat(gray[..., None], 3, -1).astype(np.float32) / 255 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    rgba = rng.integers(0, 256, size=(30, 30, 4)).astype(np.uint8)
+    got2, _ = native.png_load(_png_bytes(rgba, "RGBA"), (30, 30), IMAGENET_MEAN, IMAGENET_STD)
+    want2 = (rgba[..., :3].astype(np.float32) / 255 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+def test_non_png_returns_none():
+    assert native.png_load(b"\xff\xd8\xff not a png", (8, 8), IMAGENET_MEAN, IMAGENET_STD) is None
+
+
+def test_resize_normalize_rgb_path(rng):
+    arr = rng.integers(0, 256, size=(50, 70, 3)).astype(np.uint8)
+    got = native.resize_normalize_rgb(arr, (25, 35), IMAGENET_MEAN, IMAGENET_STD)
+    assert got is not None and got.shape == (25, 35, 3)
+    im = Image.fromarray(arr).resize((35, 25), Image.BILINEAR)
+    want = (np.asarray(im, np.float32) / 255 - IMAGENET_MEAN) / IMAGENET_STD
+    tol = 2.5 / 255.0 / IMAGENET_STD.min()
+    np.testing.assert_allclose(got, want, atol=tol)
+
+
+def test_dataset_uses_native_for_png(tmp_path, rng):
+    from zsgnet_tpu.config import Config
+    from zsgnet_tpu.data import synthetic
+    from zsgnet_tpu.data.dataset import get_data
+
+    synthetic.generate(tmp_path, n_train=4, n_val=2, n_test=2, img_size=48)
+    cfg = Config(ds_to_use="synthetic", data_dir=str(tmp_path), bs=2, nw=1,
+                 resize_img=(48, 48), max_qlen=6, do_dist=False)
+    s = get_data(cfg).train_dl.ds[0]
+    assert s["img"].shape == (48, 48, 3)
+    assert np.isfinite(s["img"]).all()

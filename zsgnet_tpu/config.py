@@ -63,6 +63,9 @@ class Config:
     opt_to_use: str = "adam"
     weight_decay: float = 0.0
     grad_clip: float = 0.0       # 0 = off
+    use_reduce_lr_plateau: bool = False
+    plateau_factor: float = 0.1
+    plateau_patience: int = 2
     seed: int = 0
     resume: bool = False
     resume_path: str = ""
@@ -75,6 +78,10 @@ class Config:
     # --- TPU-native knobs ---
     compute_dtype: str = "bfloat16"   # activations/conv compute; params+loss fp32
     use_pallas: bool = True           # Pallas kernels on TPU; jnp fallback elsewhere
+    # Per-level NHWC loss/decode (zero-relayout hot path). False falls back
+    # to the reference-shaped flat (B, ΣHWA) path (with Pallas fused loss
+    # when use_pallas). Semantics are equality-tested between the two.
+    use_level_path: bool = True
     do_dist: bool = True              # shard batch over the data mesh axis
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all available devices, 1-D data mesh
     data_axis: str = "data"

@@ -96,6 +96,23 @@ def convert_resnet50(
     return params, stats
 
 
+def regroup_head_kernel(kernel: np.ndarray, bias: np.ndarray | None, num_anchors: int):
+    """Reorder a per-anchor-interleaved head projection into our
+    component-grouped channel layout.
+
+    The reference head's final conv emits channels [a0:(score,dy,dx,dh,dw),
+    a1:(...), ...] (per-anchor interleave); our ``PredictionHead`` expects
+    [score·A | dy·A | dx·A | dh·A | dw·A] (see models/zsgnet.py — the
+    grouping keeps per-level slices relayout-free on TPU). kernel:
+    (kh, kw, in, A*5) already converted to NHWC by :func:`conv_kernel`.
+    """
+    a = num_anchors
+    perm = np.concatenate([np.arange(k, 5 * a, 5) for k in range(5)])
+    k2 = kernel[..., perm]
+    b2 = bias[perm] if bias is not None else None
+    return k2, b2
+
+
 def convert_lstm_direction(
     sd: Mapping[str, Tensor], layer: int = 0, reverse: bool = False, prefix: str = ""
 ) -> dict[str, np.ndarray]:
@@ -147,10 +164,18 @@ def convert_zsgnet_checkpoint(
         w, b = sd.get(f"{cp}.weight"), sd.get(f"{cp}.bias")
         if w is None:
             continue
-        name = f"conv{i}" if i < len(head_conv_prefixes) - 1 else "out"
-        out_params.setdefault("head", {})[name] = {
-            "kernel": conv_kernel(w),
-            **({"bias": _np(b)} if b is not None else {}),
-        }
+        head = out_params.setdefault("head", {})
+        if i == 0:
+            # First fusion conv: stored as flat params (the decomposed
+            # evaluation in models.zsgnet.PredictionHead slices it).
+            head["conv0_kernel"] = conv_kernel(w)
+            if b is not None:
+                head["conv0_bias"] = _np(b)
+        else:
+            name = f"conv{i}" if i < len(head_conv_prefixes) - 1 else "out"
+            head[name] = {
+                "kernel": conv_kernel(w),
+                **({"bias": _np(b)} if b is not None else {}),
+            }
 
     return {"params": out_params, "batch_stats": out_stats}

@@ -49,13 +49,32 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 
 def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
-    """→ (HWC float32 normalized image, original (H, W))."""
+    """→ (HWC float32 normalized image, original (H, W)).
+
+    Decode → Pillow-bilinear resize → ImageNet normalize. PNGs go through
+    the native C++ pipeline (csrc/zsg_image.cpp — single-pass, no Python
+    per-pixel overhead); other formats decode with PIL and still use the
+    native resample+normalize stage. Pure-PIL fallback keeps behavior
+    identical without the compiled library.
+    """
+    from zsgnet_tpu.data import native
+
+    if path.suffix.lower() == ".png":
+        out = native.png_load(path.read_bytes(), resize_hw, IMAGENET_MEAN, IMAGENET_STD)
+        if out is not None:
+            return out
+
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB")
         orig_w, orig_h = im.size
-        im = im.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+        arr_u8 = np.asarray(im, dtype=np.uint8)
+    out2 = native.resize_normalize_rgb(arr_u8, resize_hw, IMAGENET_MEAN, IMAGENET_STD)
+    if out2 is not None:
+        return out2, (orig_h, orig_w)
+    with Image.open(path) as im:  # pure-PIL fallback
+        im = im.convert("RGB").resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
         arr = np.asarray(im, dtype=np.float32) / 255.0
     arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
     return arr, (orig_h, orig_w)

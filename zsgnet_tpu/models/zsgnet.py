@@ -31,6 +31,7 @@ import math
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,27 +48,99 @@ FOCAL_PRIOR_BIAS = -math.log((1.0 - 0.01) / 0.01)
 
 
 class PredictionHead(nn.Module):
-    """Shared 4×(conv3×3+ReLU) + conv3×3 → A·5 channels per cell."""
+    """Shared fusion head: 4×(conv3×3+ReLU) + conv3×3 → A·5 per cell.
+
+    Two TPU-first deviations from the reference's "concat then conv"
+    formulation — both **mathematically exact** reparameterizations:
+
+    1. The first conv's kernel is logically over the concatenated
+       [visual(Cv) | language(Cl) | grid(2)] input, but is *evaluated
+       decomposed*: conv(vis) + lang-term + conv(grid-const). Because the
+       language vector is spatially constant, its 3×3-conv contribution is
+       9 matvecs (B, 3, 3, mid) plus border-mask corrections (zero-pad
+       edges see fewer taps) — removing Cl/(Cv+Cl+2) ≈ ⅔ of the conv
+       FLOPs at every cell AND never materializing the (B, H, W, 770)
+       concat in HBM. The parameter is stored as the full
+       (3, 3, Cv+Cl+2, mid) kernel in the reference channel order, so
+       checkpoints are interchangeable with the naive formulation
+       (equality-tested in tests/test_model.py).
+    2. Output channels are component-grouped [score·A | dy·A | dx·A |
+       dh·A | dw·A] instead of per-anchor interleaved, keeping per-level
+       slices relayout-free (see ops/level_ops.py). Use
+       ``zsgnet_tpu.convert.regroup_head_kernel`` for reference weights.
+    """
 
     num_anchors: int
+    vis_ch: int = 256
+    lang_ch: int = 512
     mid_ch: int = 256
     depth: int = 4
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, vis: Array, lang_vec: Array, grid: Array) -> Array:
+        """vis: (B, H, W, Cv); lang_vec: (B, Cl); grid: (H, W, 2) const."""
+        b, h, w, _ = vis.shape
+        in_ch = self.vis_ch + self.lang_ch + 2
+        kernel = self.param(
+            "conv0_kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.mid_ch),
+            jnp.float32,
+        ).astype(self.dtype)
+        bias0 = self.param(
+            "conv0_bias", nn.initializers.zeros_init(), (self.mid_ch,), jnp.float32
+        ).astype(self.dtype)
+        k_vis = kernel[:, :, : self.vis_ch]
+        k_lang = kernel[:, :, self.vis_ch : self.vis_ch + self.lang_ch]
+        k_grid = kernel[:, :, self.vis_ch + self.lang_ch :]
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            vis.astype(self.dtype), k_vis, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=self.dtype,
+        )
+        # Grid term: batch-independent (grid is a compile-time constant).
+        g = jax.lax.conv_general_dilated(
+            grid.astype(self.dtype)[None], k_grid, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=self.dtype,
+        )  # (1, H, W, mid)
+        # Language term: 9 tap matvecs + zero-pad border corrections.
+        u = jnp.einsum(
+            "bc,yxcd->byxd", lang_vec.astype(self.dtype), k_lang,
+            preferred_element_type=self.dtype,
+        )  # (B, 3, 3, mid); tap (dy+1, dx+1)
+        full = jnp.sum(u, axis=(1, 2))  # all 9 taps (interior cells)
+        top, bot = jnp.sum(u[:, 0], axis=1), jnp.sum(u[:, 2], axis=1)
+        left, right = jnp.sum(u[:, :, 0], axis=1), jnp.sum(u[:, :, 2], axis=1)
+        is_top = (jnp.arange(h) == 0).astype(self.dtype)[None, :, None, None]
+        is_bot = (jnp.arange(h) == h - 1).astype(self.dtype)[None, :, None, None]
+        is_l = (jnp.arange(w) == 0).astype(self.dtype)[None, None, :, None]
+        is_r = (jnp.arange(w) == w - 1).astype(self.dtype)[None, None, :, None]
+        bc = lambda v: v[:, None, None, :]  # noqa: E731
+        lang_term = (
+            bc(full)
+            - is_top * bc(top) - is_bot * bc(bot)
+            - is_l * bc(left) - is_r * bc(right)
+            + is_top * is_l * bc(u[:, 0, 0]) + is_top * is_r * bc(u[:, 0, 2])
+            + is_bot * is_l * bc(u[:, 2, 0]) + is_bot * is_r * bc(u[:, 2, 2])
+        )
+        x = nn.relu(y + g + lang_term + bias0)
+
         conv = lambda f, name, binit: nn.Conv(  # noqa: E731
             f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             param_dtype=jnp.float32, name=name, bias_init=binit,
         )
-        for i in range(self.depth):
+        for i in range(1, self.depth):
             x = nn.relu(conv(self.mid_ch, f"conv{i}", nn.initializers.zeros_init())(x))
-        # Final conv: per-anchor [score, dy, dx, dh, dw]; score bias = focal prior.
-        def bias_init(key, shape, dtype=jnp.float32):
-            b = jnp.zeros(shape, dtype)
-            return b.at[0 :: 5].set(FOCAL_PRIOR_BIAS)
+        # Score block (first A channels) starts at the focal prior.
+        a = self.num_anchors
 
-        return conv(self.num_anchors * 5, "out", bias_init)(x)
+        def bias_init(key, shape, dtype=jnp.float32):
+            bb = jnp.zeros(shape, dtype)
+            return bb.at[:a].set(FOCAL_PRIOR_BIAS)
+
+        return conv(a * 5, "out", bias_init)(x)
 
 
 class ZSGNet(nn.Module):
@@ -96,7 +169,9 @@ class ZSGNet(nn.Module):
             )(inp["img"], train)
             feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
         elif cfg.mdl_to_use == "ssd_vgg":
-            feats = SSDVGG16(dtype=dtype, name="backbone")(inp["img"], train)
+            feats = SSDVGG16(out_ch=cfg.fpn_ch, dtype=dtype, name="backbone")(
+                inp["img"], train
+            )
         else:
             raise ValueError(f"unknown mdl_to_use: {cfg.mdl_to_use}")
 
@@ -110,35 +185,50 @@ class ZSGNet(nn.Module):
         )(inp["qvec"], inp["qlens"])  # (B, 2H)
 
         # --- fusion + head, per scale (static unroll) ---
-        head = PredictionHead(
-            num_anchors=cfg.num_anchors, mid_ch=cfg.head_ch, dtype=dtype, name="head"
+        head_kw = dict(
+            num_anchors=cfg.num_anchors, vis_ch=cfg.fpn_ch, lang_ch=cfg.lang_dim,
+            mid_ch=cfg.head_ch, dtype=dtype,
         )
+        head = PredictionHead(**head_kw, name="head")
         heads = [head] * len(feats) if cfg.use_same_atb else [
-            PredictionHead(
-                num_anchors=cfg.num_anchors, mid_ch=cfg.head_ch, dtype=dtype,
-                name=f"head{i}",
-            )
-            for i in range(len(feats))
+            PredictionHead(**head_kw, name=f"head{i}") for i in range(len(feats))
         ]
 
-        att_parts, bbx_parts, feat_sizes = [], [], []
+        a = cfg.num_anchors
+        att_levels, delta_levels, feat_sizes = [], [], []
         for level, f in enumerate(feats):
             b, h, w, c = f.shape
             feat_sizes.append((h, w))
-            lang = jnp.broadcast_to(q_vec[:, None, None, :], (b, h, w, q_vec.shape[-1]))
             grid = jnp.asarray(
                 anchor_ops.create_grid((h, w), flatten=False), dtype=dtype
             )  # (H, W, 2) compile-time constant
-            grid = jnp.broadcast_to(grid[None], (b, h, w, 2))
-            fused = jnp.concatenate([f, lang.astype(dtype), grid], axis=-1)
-            out = heads[level](fused)  # (B, H, W, A*5)
-            out = out.reshape(b, h * w * cfg.num_anchors, 5).astype(jnp.float32)
-            att_parts.append(out[..., 0])
-            bbx_parts.append(out[..., 1:])
+            out = heads[level](f, q_vec, grid).astype(jnp.float32)  # (B, H, W, A*5)
+            # Component-grouped channel ranges — native-layout slices.
+            att_levels.append(out[..., :a])  # (B, H, W, A)
+            delta_levels.append(
+                tuple(out[..., (k + 1) * a : (k + 2) * a] for k in range(4))
+            )
+
+        # Flat reference-contract views (B, ΣHWA[,4]) — anchor index
+        # ((y·W + x)·A + a), matching ops.anchors.create_anchors ordering.
+        # Consumers that only use the per-level outputs never pay for
+        # these: XLA dead-code-eliminates unused jit outputs.
+        att_flat = jnp.concatenate(
+            [al.reshape(al.shape[0], -1) for al in att_levels], axis=1
+        )
+        bbx_flat = jnp.concatenate(
+            [
+                jnp.stack([d.reshape(d.shape[0], -1) for d in dl], axis=-1)
+                for dl in delta_levels
+            ],
+            axis=1,
+        )
 
         return {
-            "att_out": jnp.concatenate(att_parts, axis=1),  # (B, ΣHWA)
-            "bbx_out": jnp.concatenate(bbx_parts, axis=1),  # (B, ΣHWA, 4)
+            "att_out": att_flat,  # (B, ΣHWA)
+            "bbx_out": bbx_flat,  # (B, ΣHWA, 4)
+            "att_levels": tuple(att_levels),
+            "delta_levels": tuple(delta_levels),
             "feat_sizes": tuple(feat_sizes),
             "num_f_out": len(feats),
         }
@@ -150,12 +240,21 @@ def get_default_net(cfg: Config, vocab_size: int | None = None) -> ZSGNet:
     return ZSGNet(cfg=cfg, vocab_size=vs)
 
 
+def pyramid_sizes_for(cfg: Config) -> tuple[tuple[int, int], ...]:
+    if cfg.mdl_to_use == "retina":
+        return anchor_ops.feature_map_sizes(cfg.resize_img)
+    from zsgnet_tpu.models.ssd_vgg import ssd_feature_map_sizes
+
+    return ssd_feature_map_sizes(cfg.resize_img)
+
+
 def anchor_pyramid_for(cfg: Config) -> np.ndarray:
     """The (A, 4) cthw anchor constant matching ZSGNet's output ordering."""
-    if cfg.mdl_to_use == "retina":
-        sizes = anchor_ops.feature_map_sizes(cfg.resize_img)
-    else:
-        from zsgnet_tpu.models.ssd_vgg import ssd_feature_map_sizes
+    return anchor_ops.create_anchors(cfg.scales, cfg.ratios, pyramid_sizes_for(cfg))
 
-        sizes = ssd_feature_map_sizes(cfg.resize_img)
-    return anchor_ops.create_anchors(cfg.scales, cfg.ratios, sizes)
+
+def anchor_components_for(cfg: Config) -> list[dict[str, np.ndarray]]:
+    """Per-level (H, W, A) anchor component constants (level hot path)."""
+    from zsgnet_tpu.ops.level_ops import level_anchor_components
+
+    return level_anchor_components(cfg.scales, cfg.ratios, pyramid_sizes_for(cfg))

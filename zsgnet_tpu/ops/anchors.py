@@ -145,14 +145,29 @@ def match_and_encode(
     gt_tlbr: Array,
     match_thr: float = 0.5,
     neg_thr: float = 0.4,
+    use_multi: bool = True,
 ) -> tuple[Array, Array]:
     """Fused matching + regression-target encoding for the train step.
 
     anchors_cthw: (A, 4); gt_tlbr: (B, 4) → labels (B, A) int32,
     reg_targets (B, A, 4) float32 (valid where label==1, defined everywhere
     so downstream masking needs no gather).
+
+    ``use_multi=False`` reproduces the reference's best-anchor-only
+    supervision variant (SURVEY.md §2 item 5 ``use_multi``): only the
+    argmax-IoU anchor is positive; anchors above the match threshold are
+    ignored rather than supervised.
     """
     labels = simple_match_anchors(anchors_cthw, gt_tlbr, match_thr, neg_thr)
+    if not use_multi:
+        anchors_tlbr = box_ops.cthw2tlbr(anchors_cthw)
+        iou = box_ops.iou_pairwise(gt_tlbr[..., None, :], anchors_tlbr)[..., 0, :]
+        best = jnp.argmax(iou, axis=-1)
+        best_mask = jnp.arange(iou.shape[-1], dtype=jnp.int32) == best[..., None]
+        # demote non-best positives to ignore, keep negatives negative
+        labels = jnp.where(
+            best_mask, jnp.int32(1), jnp.where(labels == 1, jnp.int32(-1), labels)
+        )
     reg_targets = box_ops.bbox_to_reg_params(
         anchors_cthw[None, :, :], gt_tlbr[:, None, :]
     )

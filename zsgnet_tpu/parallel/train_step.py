@@ -50,7 +50,10 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """Adam (reference default) with optional weight decay / grad clip."""
+    """Adam (reference default) with optional weight decay / grad clip /
+    ReduceLROnPlateau (the reference's optional scheduler, SURVEY.md §2
+    item 10 — here via ``optax.contrib.reduce_on_plateau``; the Learner
+    feeds the val metric through ``update``'s ``value`` kwarg)."""
     if cfg.opt_to_use == "adam":
         tx = (
             optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
@@ -63,6 +66,13 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         raise ValueError(f"unknown opt_to_use: {cfg.opt_to_use}")
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.use_reduce_lr_plateau:
+        tx = optax.chain(
+            tx,
+            optax.contrib.reduce_on_plateau(
+                factor=cfg.plateau_factor, patience=cfg.plateau_patience
+            ),
+        )
     return tx
 
 
@@ -94,10 +104,11 @@ def _device_batch(batch: dict[str, Array]) -> dict[str, Array]:
 
 
 def _use_fused_loss(cfg: Config) -> bool:
-    """Pallas fused loss: focal path only, on the TPU backend, with a
-    batch the (8, 512) kernel tiling divides. Everything else falls back
-    to the jnp reference implementation (identical semantics)."""
-    if not (cfg.use_focal and not cfg.use_softmax and cfg.use_pallas):
+    """Pallas fused loss: focal/multi-positive path only, on the TPU
+    backend, with a batch the (8, 512) kernel tiling divides. Everything
+    else falls back to the jnp reference implementation (identical
+    semantics)."""
+    if not (cfg.use_focal and not cfg.use_softmax and cfg.use_pallas and cfg.use_multi):
         return False
     per_device_bs = cfg.bs
     if cfg.do_dist:
@@ -124,12 +135,26 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     anchors_const = jnp.asarray(anchors_cthw)
     axis = cfg.data_axis if mesh is not None else None
     use_fused = _use_fused_loss(cfg)
+    use_levels = cfg.use_level_path and cfg.use_focal and not cfg.use_softmax and cfg.use_multi
+    if use_levels:
+        from zsgnet_tpu.models.zsgnet import anchor_components_for
+
+        anchor_comps = anchor_components_for(cfg)
     if use_fused:
         from zsgnet_tpu.ops.pallas.fused_loss import pack_anchors
 
         anchors_packed = jnp.asarray(pack_anchors(anchors_cthw))
 
     def compute_loss(out, annot):
+        if use_levels:
+            from zsgnet_tpu.ops.level_ops import zsg_loss_levels
+
+            return zsg_loss_levels(
+                out["att_levels"], out["delta_levels"], anchor_comps, annot,
+                lamb_reg=cfg.lamb_reg, match_thr=cfg.matching_threshold,
+                neg_thr=cfg.neg_threshold, alpha=cfg.focal_alpha,
+                gamma=cfg.focal_gamma, axis_name=axis,
+            )
         if use_fused:
             from zsgnet_tpu.ops.pallas.fused_loss import zsg_loss_fused
 
@@ -140,7 +165,8 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
                 alpha=cfg.focal_alpha, gamma=cfg.focal_gamma, axis_name=axis,
             )
         labels, reg_t = anchor_ops.match_and_encode(
-            anchors_const, annot, cfg.matching_threshold, cfg.neg_threshold
+            anchors_const, annot, cfg.matching_threshold, cfg.neg_threshold,
+            use_multi=cfg.use_multi,
         )
         return losses.zsg_loss(
             out["att_out"], out["bbx_out"], labels, reg_t,
@@ -174,7 +200,10 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             ls = jax.lax.psum(ls, axis)  # num_pos: local sums → global count
             if new_stats:
                 new_stats = jax.lax.pmean(new_stats, axis)  # sync-BN running stats
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        extra = {"value": ls["total"]} if cfg.use_reduce_lr_plateau else {}
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.params, **extra
+        )
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
@@ -206,23 +235,42 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     reads the global array which jax assembles across shards).
     """
     anchors_const = jnp.asarray(anchors_cthw)
+    use_levels = cfg.use_level_path
+    if use_levels:
+        from zsgnet_tpu.models.zsgnet import anchor_components_for
+
+        anchor_comps = anchor_components_for(cfg)
 
     def run(state: TrainState, batch: dict[str, Array]):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(variables, _device_batch(batch), train=False)
-        ev = eval_batch(
-            out["att_out"], out["bbx_out"], anchors_const, batch["annot"],
-            cfg.acc_iou_threshold,
-        )
-        labels, reg_t = anchor_ops.match_and_encode(
-            anchors_const, batch["annot"], cfg.matching_threshold, cfg.neg_threshold
-        )
-        ls = losses.zsg_loss(
-            out["att_out"], out["bbx_out"], labels, reg_t,
-            lamb_reg=cfg.lamb_reg, use_focal=cfg.use_focal, use_softmax=cfg.use_softmax,
-        )
+        if use_levels:
+            from zsgnet_tpu.ops.level_ops import eval_batch_levels, zsg_loss_levels
+
+            ev = eval_batch_levels(
+                out, anchor_comps, batch["annot"], cfg.acc_iou_threshold
+            )
+            ls = zsg_loss_levels(
+                out["att_levels"], out["delta_levels"], anchor_comps,
+                batch["annot"], lamb_reg=cfg.lamb_reg,
+                match_thr=cfg.matching_threshold, neg_thr=cfg.neg_threshold,
+                alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
+            )
+        else:
+            ev = eval_batch(
+                out["att_out"], out["bbx_out"], anchors_const, batch["annot"],
+                cfg.acc_iou_threshold,
+            )
+            labels, reg_t = anchor_ops.match_and_encode(
+                anchors_const, batch["annot"], cfg.matching_threshold, cfg.neg_threshold
+            )
+            ls = losses.zsg_loss(
+                out["att_out"], out["bbx_out"], labels, reg_t,
+                lamb_reg=cfg.lamb_reg, use_focal=cfg.use_focal,
+                use_softmax=cfg.use_softmax,
+            )
         ev["loss"] = jnp.broadcast_to(ls["total"], ev["iou"].shape)
         return ev
 

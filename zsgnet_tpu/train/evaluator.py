@@ -40,24 +40,35 @@ def eval_batch(
     whether the *best possible* anchor (highest IoU with gt) would itself
     decode to a hit (the reference's upper-bound diagnostic).
     """
-    best = jnp.argmax(att_logits, axis=-1)  # (B,)
-    sel_anchor = anchors_cthw[best]  # (B, 4)
-    sel_reg = jnp.take_along_axis(bbx_reg, best[:, None, None], axis=1)[:, 0]  # (B,4)
-    pred_box = box_ops.clip_boxes(box_ops.reg_params_to_bbox(sel_anchor, sel_reg))
+    pred_box = decode_best_box(att_logits, bbx_reg, anchors_cthw)
     iou = box_ops.iou_aligned(pred_box, gt_tlbr)  # (B,)
     correct = (iou > iou_thr).astype(jnp.float32)
 
     # MaxPos: decode at the oracle-best anchor instead of the argmax-scored one.
     anchors_tlbr = box_ops.cthw2tlbr(anchors_cthw)
     anchor_iou = box_ops.iou_pairwise(gt_tlbr[:, None, :], anchors_tlbr)[:, 0, :]  # (B, A)
-    oracle = jnp.argmax(anchor_iou, axis=-1)
-    o_anchor = anchors_cthw[oracle]
-    o_reg = jnp.take_along_axis(bbx_reg, oracle[:, None, None], axis=1)[:, 0]
-    o_box = box_ops.clip_boxes(box_ops.reg_params_to_bbox(o_anchor, o_reg))
+    o_box = decode_best_box(anchor_iou, bbx_reg, anchors_cthw)
     o_iou = box_ops.iou_aligned(o_box, gt_tlbr)
     max_pos = (o_iou > iou_thr).astype(jnp.float32)
 
     return {"iou": iou, "correct": correct, "pred_box": pred_box, "max_pos": max_pos}
+
+
+def decode_best_box(scores: Array, bbx_reg: Array, anchors_cthw: Array) -> Array:
+    """Argmax-select + decode via one-hot contractions — NOT gathers.
+
+    scores: (B, A); bbx_reg: (B, A, 4); anchors: (A, 4) → (B, 4) tlbr.
+    Dynamic gathers (``anchors[best]`` / ``take_along_axis``) cost ~18 ms
+    for B=64, A=17k on TPU v5e; the equivalent one-hot einsum rides the
+    MXU/VPU at <1 ms (measured in tools/profile_bench.py).
+    """
+    best = jnp.argmax(scores, axis=-1)  # (B,)
+    onehot = (
+        jnp.arange(scores.shape[-1], dtype=jnp.int32)[None, :] == best[:, None]
+    ).astype(jnp.float32)  # (B, A)
+    sel_anchor = onehot @ anchors_cthw.astype(jnp.float32)  # (B, 4)
+    sel_reg = jnp.einsum("ba,bak->bk", onehot, bbx_reg.astype(jnp.float32))
+    return box_ops.clip_boxes(box_ops.reg_params_to_bbox(sel_anchor, sel_reg))
 
 
 class Evaluator:
