@@ -251,6 +251,71 @@ int zsg_resize_normalize_rgb(const uint8_t* rgb, int h, int w, int out_h,
   return 0;
 }
 
+// Pillow-style bilinear resize to uint8 (Pillow's rounding: +0.5
+// truncate, clamped). Used by the normalize-on-device input path: the
+// host ships uint8 (4x less transfer); the TPU normalizes in its first
+// fused op.
+int zsg_resize_u8(const uint8_t* rgb, int h, int w, int out_h, int out_w,
+                  uint8_t* out) {
+  if (h <= 0 || w <= 0 || out_h <= 0 || out_w <= 0) return -1;
+  auto xc = bilinear_coeffs(w, out_w);
+  auto yc = bilinear_coeffs(h, out_h);
+  std::vector<double> tmp(size_t(h) * out_w * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = rgb + size_t(y) * w * 3;
+    double* dst = tmp.data() + size_t(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      const Coeff& c = xc[x];
+      double acc[3] = {0, 0, 0};
+      for (int k = 0; k < c.n; ++k) {
+        const uint8_t* s = src + size_t(c.xmin + k) * 3;
+        double wgt = c.w[k];
+        acc[0] += wgt * s[0];
+        acc[1] += wgt * s[1];
+        acc[2] += wgt * s[2];
+      }
+      dst[x * 3 + 0] = acc[0];
+      dst[x * 3 + 1] = acc[1];
+      dst[x * 3 + 2] = acc[2];
+    }
+  }
+  for (int y = 0; y < out_h; ++y) {
+    const Coeff& c = yc[y];
+    uint8_t* dst = out + size_t(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      double acc[3] = {0, 0, 0};
+      for (int k = 0; k < c.n; ++k) {
+        const double* s = tmp.data() + (size_t(c.xmin + k) * out_w + x) * 3;
+        double wgt = c.w[k];
+        acc[0] += wgt * s[0];
+        acc[1] += wgt * s[1];
+        acc[2] += wgt * s[2];
+      }
+      for (int ch = 0; ch < 3; ++ch) {
+        double v = acc[ch] + 0.5;
+        dst[x * 3 + ch] =
+            uint8_t(v < 0 ? 0 : (v > 255 ? 255 : int(v)));
+      }
+    }
+  }
+  return 0;
+}
+
+// One-shot: PNG bytes → resized uint8 (out_h, out_w, 3) + original size.
+int zsg_png_load_u8(const uint8_t* data, size_t n, int out_h, int out_w,
+                    uint8_t* out, int* orig_h, int* orig_w) {
+  uint8_t* rgb = nullptr;
+  int h = 0, w = 0;
+  int rc = zsg_png_decode(data, n, &rgb, &h, &w);
+  if (rc != 0) return rc;
+  rc = zsg_resize_u8(rgb, h, w, out_h, out_w, out);
+  std::free(rgb);
+  if (rc != 0) return rc;
+  *orig_h = h;
+  *orig_w = w;
+  return 0;
+}
+
 // One-shot: PNG bytes → normalized float32 (out_h, out_w, 3) + original
 // size. `out` must hold out_h*out_w*3 floats.
 int zsg_png_load(const uint8_t* data, size_t n, int out_h, int out_w,

@@ -50,7 +50,13 @@ def test_normalize_box():
 
 
 def test_dataset_sample_shapes(synth_root):
+    # Default input path ships uint8 (normalize-on-device).
     cfg = cfg_for(synth_root)
+    data = get_data(cfg)
+    s = data.train_dl.ds[0]
+    assert s["img"].shape == (64, 64, 3) and s["img"].dtype == np.uint8
+    # Reference-style host-normalized float path still available.
+    cfg = cfg_for(synth_root, normalize_on_device=False)
     data = get_data(cfg)
     s = data.train_dl.ds[0]
     assert s["img"].shape == (64, 64, 3) and s["img"].dtype == np.float32
@@ -107,3 +113,72 @@ def test_loader_sharding_disjoint(synth_root):
 def test_get_data_unknown_ds(synth_root):
     with pytest.raises(ValueError, match="unknown ds_to_use"):
         get_data(cfg_for(synth_root, ds_to_use="nope"))
+
+
+def test_u8_loader_and_device_normalize(synth_root):
+    """uint8 input path: loader ships u8; model normalization must equal
+    host-side fp32 normalization exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from zsgnet_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = cfg_for(synth_root, normalize_on_device=True)
+    data = get_data(cfg)
+    s = data.train_dl.ds[0]
+    assert s["img"].dtype == np.uint8
+
+    cfg_f = cfg_for(synth_root, normalize_on_device=False)
+    sf = get_data(cfg_f).train_dl.ds[0]
+    want = (s["img"].astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    # float path normalizes the SAME resampled pixels (u8-rounded by the
+    # native path) only when both go through u8; check shape/type + closeness.
+    assert sf["img"].dtype == np.float32
+    np.testing.assert_allclose(want, sf["img"], atol=2.5 / 255 / IMAGENET_STD.min())
+
+
+def test_packed_cache_roundtrip(synth_root):
+    cfg = cfg_for(synth_root, use_packed_cache=True, normalize_on_device=True)
+    data = get_data(cfg)
+    from zsgnet_tpu.data.packed import PackedDataset
+
+    assert isinstance(data.train_dl.ds, PackedDataset)
+    cfg_raw = cfg_for(synth_root, use_packed_cache=False, normalize_on_device=True)
+    raw = get_data(cfg_raw)
+    for i in (0, 3, 7):
+        a, b = data.train_dl.ds[i], raw.train_dl.ds[i]
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["qvec"], b["qvec"])
+        np.testing.assert_allclose(a["annot"], b["annot"], atol=1e-6)
+        assert a["qlens"] == b["qlens"]
+    # Second instantiation hits the cache (key.json exists, no rebuild).
+    data2 = get_data(cfg)
+    np.testing.assert_array_equal(data2.train_dl.ds[1]["img"], raw.train_dl.ds[1]["img"])
+
+
+def test_model_u8_matches_f32_input(synth_root, rng):
+    """ZSGNet(u8 batch) == ZSGNet(host-normalized f32 of same u8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zsgnet_tpu.config import Config
+    from zsgnet_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from zsgnet_tpu.models.zsgnet import ZSGNet
+
+    cfg = Config(
+        resize_img=(32, 32), lstm_dim=8, emb_dim=8, max_qlen=6,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+    )
+    model = ZSGNet(cfg=cfg, vocab_size=20)
+    u8 = rng.integers(0, 256, size=(2, 32, 32, 3)).astype(np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    qvec = jnp.asarray(rng.integers(1, 20, size=(2, 6)).astype(np.int32))
+    qlens = jnp.asarray(np.array([2, 5], np.int32))
+    b_u8 = {"img": jnp.asarray(u8), "qvec": qvec, "qlens": qlens}
+    b_f32 = {"img": jnp.asarray(f32.astype(np.float32)), "qvec": qvec, "qlens": qlens}
+    vs = model.init(jax.random.PRNGKey(0), b_f32)
+    out_u8 = model.apply(vs, b_u8)
+    out_f32 = model.apply(vs, b_f32)
+    np.testing.assert_allclose(
+        np.asarray(out_u8["att_out"]), np.asarray(out_f32["att_out"]), atol=1e-5
+    )

@@ -109,3 +109,21 @@ def test_testing_split(synth_root, tmp_path):
     learn = Learner("t_test", data, cfg)
     m = learn.testing()
     assert m["num_samples"] == 8
+
+
+def test_glove_init_applied(synth_root, tmp_path):
+    """cfg.glove_path initializes the embedding table through the Learner."""
+    import jax.numpy as jnp
+
+    data0 = get_data(tiny_cfg(synth_root, tmp_path))
+    word = next(w for w in data0.vocab.word_to_id if w not in ("<pad>", "<unk>"))
+    emb_dim = 16
+    glove = tmp_path / "glove.txt"
+    glove.write_text(f"{word} " + " ".join(["0.5"] * emb_dim) + "\n")
+
+    cfg = tiny_cfg(synth_root, tmp_path, emb_dim=emb_dim, glove_path=str(glove))
+    learn = Learner("t_glove", get_data(cfg), cfg)
+    table = np.asarray(learn.state.params["query_enc"]["embed"]["embedding"])
+    idx = data0.vocab.word_to_id[word]
+    np.testing.assert_allclose(table[idx], 0.5)
+    np.testing.assert_allclose(table[0], 0.0)  # PAD

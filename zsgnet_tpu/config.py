@@ -40,6 +40,7 @@ class Config:
     resize_img: tuple[int, int] = (300, 300)
     # --- query encoder ---
     emb_dim: int = 300
+    glove_path: str = ""         # GloVe/word2vec txt → embedding init
     lstm_dim: int = 256          # per-direction hidden; BiLSTM output = 512
     max_qlen: int = 50           # static pad length for queries
     vocab_size: int = 0          # 0 = derive from dataset vocab at build time
@@ -82,6 +83,15 @@ class Config:
     # to the reference-shaped flat (B, ΣHWA) path (with Pallas fused loss
     # when use_pallas). Semantics are equality-tested between the two.
     use_level_path: bool = True
+    # Ship uint8 images host→device (4× less transfer + host work) and
+    # normalize in the first fused device op. False = host-side fp32
+    # normalize (reference behavior). Numerics identical (fp32 normalize
+    # either way; tested).
+    normalize_on_device: bool = True
+    # Cache decoded+resized images as a uint8 memmap next to the CSVs;
+    # epochs after the first read at memory bandwidth (single-core hosts
+    # are otherwise decode-bound).
+    use_packed_cache: bool = False
     do_dist: bool = True              # shard batch over the data mesh axis
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all available devices, 1-D data mesh
     data_axis: str = "data"

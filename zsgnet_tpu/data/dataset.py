@@ -80,6 +80,32 @@ def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tup
     return arr, (orig_h, orig_w)
 
 
+def _load_image_u8(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
+    """→ (HWC uint8 resized image, original (H, W)) — the
+    normalize-on-device input path (SURVEY.md §3.6 TPU equivalent):
+    the device does (x/255 - mean)/std in its first fused op, so the host
+    skips normalization and ships 4× fewer bytes."""
+    from zsgnet_tpu.data import native
+
+    if path.suffix.lower() == ".png":
+        out = native.png_load_u8(path.read_bytes(), resize_hw)
+        if out is not None:
+            return out
+
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        orig_w, orig_h = im.size
+        arr_u8 = np.asarray(im, dtype=np.uint8)
+    out2 = native.resize_u8(arr_u8, resize_hw)
+    if out2 is not None:
+        return out2, (orig_h, orig_w)
+    with Image.open(path) as im:  # pure-PIL fallback
+        im = im.convert("RGB").resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8), (orig_h, orig_w)
+
+
 def _parse_box(row: pd.Series) -> np.ndarray:
     """Pixel (x1, y1, x2, y2) from either 4 columns or a JSON 'bbox' col."""
     if "bbox" in row and isinstance(row["bbox"], str):
@@ -128,7 +154,8 @@ class ImgQuDataset:
 
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         row = self.df.iloc[i]
-        img, orig_hw = _load_image(self.image_dir / str(row["img_id"]), self.cfg.resize_img)
+        loader = _load_image_u8 if self.cfg.normalize_on_device else _load_image
+        img, orig_hw = loader(self.image_dir / str(row["img_id"]), self.cfg.resize_img)
         box_xyxy = _parse_box(row)
         annot = normalize_box_xyxy(box_xyxy, orig_hw)
         ids, qlen = self.vocab.encode(str(row["query"]), self.cfg.max_qlen)
@@ -305,6 +332,11 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
         if not csv_path.exists():
             return None
         ds = ImgQuDataset(csv_path, img_dir, vocab, cfg)
+        if cfg.use_packed_cache:
+            from zsgnet_tpu.data.packed import PackedDataset
+
+            h, w = cfg.resize_img
+            ds = PackedDataset(ds, csv_dir / f"packed_{split}_{h}x{w}")
         return BatchLoader(
             ds, cfg.bs, shuffle=shuffle, seed=cfg.seed, nw=cfg.nw,
             drop_last=drop_last, shard_id=shard_id, num_shards=num_shards,

@@ -49,6 +49,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.zsg_png_load_u8.restype = ctypes.c_int
+        lib.zsg_png_load_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.zsg_resize_u8.restype = ctypes.c_int
+        lib.zsg_resize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -84,6 +95,43 @@ def png_load(
     if rc != 0:
         return None
     return out, (orig_h.value, orig_w.value)
+
+
+def png_load_u8(
+    png_bytes: bytes, out_hw: tuple[int, int]
+) -> tuple[np.ndarray, tuple[int, int]] | None:
+    """PNG bytes → (resized uint8 (H, W, 3), original (h, w)), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, 3), np.uint8)
+    orig_h = ctypes.c_int(0)
+    orig_w = ctypes.c_int(0)
+    rc = lib.zsg_png_load_u8(
+        png_bytes, len(png_bytes), oh, ow,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(orig_h), ctypes.byref(orig_w),
+    )
+    if rc != 0:
+        return None
+    return out, (orig_h.value, orig_w.value)
+
+
+def resize_u8(rgb: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray | None:
+    """(h, w, 3) uint8 → resized uint8 (H, W, 3) (Pillow bilinear), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, 3), np.uint8)
+    rc = lib.zsg_resize_u8(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, oh, ow,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 def resize_normalize_rgb(

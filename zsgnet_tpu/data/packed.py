@@ -1,0 +1,110 @@
+"""Packed dataset cache — decode once, stream forever.
+
+A single host core decodes ~150 PNG/s (csrc pipeline) while one v5e chip
+trains at ~900 queries/s: the host loses by 6×. This module removes
+decode from the steady-state path (the TPU analog of the reference's
+num-worker scaling, which this box cannot do — SURVEY.md §3.6): a
+one-time pass writes every sample's resized uint8 image into a memmap
+(`imgs.u8` (N, H, W, 3)) plus an `meta.npz` of the already-tokenized
+query/box tensors. Epochs then assemble batches by fancy-indexing the
+memmap — pure memcpy, >10k samples/s on one core.
+
+Cache key includes the resize resolution and CSV row count; stale caches
+rebuild automatically.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.data.dataset import ImgQuDataset, _load_image_u8
+
+
+class PackedDataset:
+    """Duck-type of ImgQuDataset backed by the memmap cache.
+
+    __getitem__ returns the same dict contract with ``img`` uint8
+    (normalize-on-device path; the cache stores u8 regardless of
+    cfg.normalize_on_device and the float path normalizes on read).
+    """
+
+    def __init__(self, ds: ImgQuDataset, cache_dir: str | Path):
+        self.cfg = ds.cfg
+        self.cache_dir = Path(cache_dir)
+        self._build_if_needed(ds)
+        meta = np.load(self.cache_dir / "meta.npz")
+        self.meta = {k: meta[k] for k in meta.files}
+        n = len(self.meta["qlens"])
+        h, w = self.cfg.resize_img
+        self.imgs = np.memmap(
+            self.cache_dir / "imgs.u8", dtype=np.uint8, mode="r",
+            shape=(n, h, w, 3),
+        )
+
+    def _key(self, ds: ImgQuDataset) -> dict:
+        h, w = self.cfg.resize_img
+        return {"n": len(ds), "h": h, "w": w, "version": 1}
+
+    def _build_if_needed(self, ds: ImgQuDataset) -> None:
+        key_path = self.cache_dir / "key.json"
+        if key_path.exists():
+            try:
+                if json.loads(key_path.read_text()) == self._key(ds):
+                    return
+            except (json.JSONDecodeError, OSError):
+                pass
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        h, w = self.cfg.resize_img
+        n = len(ds)
+        imgs = np.memmap(
+            self.cache_dir / "imgs.u8", dtype=np.uint8, mode="w+",
+            shape=(n, h, w, 3),
+        )
+        meta: dict[str, list] = {
+            k: [] for k in ("qvec", "qlens", "annot", "orig_annot", "img_size", "case")
+        }
+        for i in range(n):
+            row = ds.df.iloc[i]
+            img, orig_hw = _load_image_u8(
+                ds.image_dir / str(row["img_id"]), self.cfg.resize_img
+            )
+            imgs[i] = img
+            from zsgnet_tpu.data.dataset import _parse_box, normalize_box_xyxy
+
+            box_xyxy = _parse_box(row)
+            ids, qlen = ds.vocab.encode(str(row["query"]), self.cfg.max_qlen)
+            meta["qvec"].append(np.asarray(ids, np.int32))
+            meta["qlens"].append(np.int32(qlen))
+            meta["annot"].append(normalize_box_xyxy(box_xyxy, orig_hw))
+            meta["orig_annot"].append(box_xyxy)
+            meta["img_size"].append(np.asarray(orig_hw, np.float32))
+            meta["case"].append(
+                np.int32(row["case"]) if ds.has_case else np.int32(-1)
+            )
+        imgs.flush()
+        np.savez(self.cache_dir / "meta.npz", **{k: np.stack(v) for k, v in meta.items()})
+        key_path.write_text(json.dumps(self._key(ds)))
+
+    def __len__(self) -> int:
+        return len(self.meta["qlens"])
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        img = np.asarray(self.imgs[i])
+        if not self.cfg.normalize_on_device:
+            from zsgnet_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+            img = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        return {
+            "img": img,
+            "qvec": self.meta["qvec"][i],
+            "qlens": self.meta["qlens"][i],
+            "annot": self.meta["annot"][i],
+            "orig_annot": self.meta["orig_annot"][i],
+            "img_size": self.meta["img_size"][i],
+            "idxs": np.int32(i),
+            "case": self.meta["case"][i],
+        }

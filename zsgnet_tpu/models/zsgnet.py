@@ -161,6 +161,14 @@ class ZSGNet(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+        # uint8 input → fused on-device ImageNet normalization (fp32, so
+        # numerics match host-side normalization exactly; tested).
+        if inp["img"].dtype == jnp.uint8:
+            from zsgnet_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+            img = (inp["img"].astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            inp = dict(inp, img=img)
+
         # --- visual stream ---
         if cfg.mdl_to_use == "retina":
             c_feats = ResNet50(

@@ -85,6 +85,20 @@ class Learner:
                 jax.random.PRNGKey(cfg.seed),
             )
         )
+        if cfg.glove_path:
+            from zsgnet_tpu.data.embeddings import (
+                apply_embedding_init,
+                load_embedding_table,
+            )
+
+            table, found = load_embedding_table(
+                cfg.glove_path, data.vocab, cfg.emb_dim, cfg.seed
+            )
+            self.state = self.state.replace(
+                params=apply_embedding_init(self.state.params, table)
+            )
+            if is_main_process():
+                print(f"glove init: {found}/{len(data.vocab)} vocab words found")
         self.train_step = make_train_step(cfg, self.anchors, self.mesh)
         self.eval_step = make_eval_step(cfg, self.anchors, self.mesh)
         self.ckpt = CheckpointManager(self.model_dir)
@@ -135,14 +149,30 @@ class Learner:
             t0 = time.time()
             n_batches = 0
             last_ls: dict[str, Any] = {}
+            pending: dict[str, Any] | None = None
+
+            def drain(p) -> None:
+                nonlocal last_ls
+                if p is None:
+                    return
+                # By now the async copy has landed; reads don't stall.
+                last_ls = {k: float(v) for k, v in p.items()}
+                smooth.add_value(last_ls["total"])
+
             for batch in self.data.train_dl:
                 sharded = self._shard(self._device_view(batch))
                 self.state, ls = self.train_step(self.state, sharded)
                 n_batches += 1
                 if n_batches % cfg.log_every == 0:
-                    val = float(ls["total"])
-                    smooth.add_value(val)
-                    last_ls = {k: float(v) for k, v in ls.items()}
+                    # Never block the dispatch pipeline on a loss read: a
+                    # synchronous float() costs a full device round-trip
+                    # (~150 ms over the remote tunnel). Start an async
+                    # copy now, read it at the NEXT log interval.
+                    drain(pending)
+                    for v in ls.values():
+                        v.copy_to_host_async()
+                    pending = ls
+            drain(pending)
             train_time = time.time() - t0
             metrics = self.validate()
             row = {

@@ -40,9 +40,16 @@ def time_fn(
     fn: Callable[..., Any],
     *args: Any,
     warmup: int = 3,
-    iters: int = 20,
+    iters: int = 100,
 ) -> tuple[float, Any]:
-    """Steady-state seconds/call of a jitted fn (device-synchronized)."""
+    """Steady-state seconds/call of a jitted fn.
+
+    Closes the timing window with a *value fetch* (not just
+    ``block_until_ready``) because remote-tunnel runtimes under-report
+    readiness for array handles; fetching a scalar derived from the last
+    output forces true completion of the queued pipeline. Use a long
+    ``iters`` so the one ~40 ms fetch round-trip amortizes away.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args)
@@ -50,7 +57,10 @@ def time_fn(
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import jax.numpy as jnp
+
+    float(jnp.sum(leaf))
     return (time.perf_counter() - t0) / iters, out
 
 
