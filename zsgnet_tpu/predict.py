@@ -1,0 +1,142 @@
+"""Single-shot grounding inference API — image + query → box.
+
+The north star's serving path (BASELINE.json: "inference is single-shot
+per image-query pair with no proposal stage"). ``Grounder`` wraps a
+trained checkpoint behind one jitted call; queries batch transparently
+(padded to the compiled batch size, so any request count ≤ bs reuses one
+compiled program).
+
+CLI:
+    python -m zsgnet_tpu.predict <ckpt_dir> <image> "<query>" [--key=val ...]
+
+prints the predicted box in original-image pixel coordinates
+(x1 y1 x2 y2) plus the match score.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zsgnet_tpu.config import Config, get_default_cfg
+from zsgnet_tpu.data.dataset import _load_image_u8
+from zsgnet_tpu.data.vocab import Vocab
+from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
+from zsgnet_tpu.ops.level_ops import decode_best_box_levels
+
+
+class Grounder:
+    """Load-once, call-many grounding predictor."""
+
+    def __init__(self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.variables = variables
+        self.bs = batch_size
+        self.model = get_default_net(cfg, vocab_size=len(vocab))
+        anchor_comps = anchor_components_for(cfg)
+        model = self.model
+
+        @jax.jit
+        def _infer(variables, img, qvec, qlens):
+            out = model.apply(
+                variables, {"img": img, "qvec": qvec, "qlens": qlens}, train=False
+            )
+            box, score = decode_best_box_levels(
+                out["att_levels"], out["delta_levels"], anchor_comps
+            )
+            return box, jax.nn.sigmoid(score)
+
+        self._infer = _infer
+
+    @classmethod
+    def from_checkpoint(
+        cls, ckpt_dir: str | Path, vocab_path: str | Path, cfg: Config | None = None,
+        batch_size: int = 8,
+    ) -> "Grounder":
+        from zsgnet_tpu.train.checkpoint import CheckpointManager
+
+        cfg = cfg or get_default_cfg()
+        vocab = Vocab.load(vocab_path)
+        restored = CheckpointManager(ckpt_dir).restore()
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        return cls(cfg, vocab, variables, batch_size)
+
+    def ground(
+        self, images: list[str | Path | np.ndarray], queries: list[str]
+    ) -> list[dict]:
+        """→ per pair: {"box_xyxy": pixel [x1,y1,x2,y2], "score": float,
+        "box_norm": normalized tlbr}. Accepts image paths or HWC uint8/
+        float arrays (arrays are assumed already resized)."""
+        if len(images) != len(queries):
+            raise ValueError("images and queries must pair up")
+        n = len(images)
+        if n == 0:
+            return []
+        h, w = self.cfg.resize_img
+        out: list[dict] = []
+        for start in range(0, n, self.bs):
+            chunk_i = images[start : start + self.bs]
+            chunk_q = queries[start : start + self.bs]
+            k = len(chunk_i)
+            imgs = np.zeros((self.bs, h, w, 3), np.uint8)
+            sizes = np.ones((self.bs, 2), np.float32)
+            for j, im in enumerate(chunk_i):
+                if isinstance(im, np.ndarray):
+                    arr = im.astype(np.uint8)
+                    if arr.shape[:2] != (h, w):
+                        raise ValueError("array inputs must be pre-resized")
+                    imgs[j], sizes[j] = arr, (arr.shape[0], arr.shape[1])
+                else:
+                    imgs[j], orig_hw = _load_image_u8(Path(im), (h, w))
+                    sizes[j] = orig_hw
+            qvec = np.zeros((self.bs, self.cfg.max_qlen), np.int32)
+            qlens = np.ones((self.bs,), np.int32)
+            for j, q in enumerate(chunk_q):
+                ids, ln = self.vocab.encode(q, self.cfg.max_qlen)
+                qvec[j], qlens[j] = ids, ln
+            boxes, scores = self._infer(
+                self.variables, jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
+            )
+            boxes = np.asarray(boxes)[:k]
+            scores = np.asarray(scores)[:k]
+            for j in range(k):
+                oh, ow = sizes[j]
+                y1, x1, y2, x2 = boxes[j]
+                out.append(
+                    {
+                        "box_norm": [float(v) for v in boxes[j]],
+                        "box_xyxy": [
+                            float((x1 + 1) * ow / 2), float((y1 + 1) * oh / 2),
+                            float((x2 + 1) * ow / 2), float((y2 + 1) * oh / 2),
+                        ],
+                        "score": float(scores[j]),
+                    }
+                )
+        return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    overrides = dict(
+        a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--") and "=" in a
+    )
+    if len(args) != 3:
+        raise SystemExit(__doc__)
+    ckpt_dir, image, query = args
+    vocab_path = overrides.pop("vocab", str(Path(ckpt_dir) / "vocab.json"))
+    cfg = get_default_cfg().replace(**overrides) if overrides else get_default_cfg()
+    g = Grounder.from_checkpoint(ckpt_dir, vocab_path, cfg, batch_size=1)
+    (res,) = g.ground([image], [query])
+    x1, y1, x2, y2 = res["box_xyxy"]
+    print(f"{x1:.1f} {y1:.1f} {x2:.1f} {y2:.1f}  score={res['score']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
