@@ -93,7 +93,9 @@ def test_loader_tail_padding_mask(synth_root):
     assert valid_total == 10
 
 
-def test_loader_sharding_disjoint(synth_root):
+def test_loader_sharding_spmd_slices(synth_root):
+    """SPMD semantics: every host sees the SAME global batch sequence in
+    lockstep; each materializes a disjoint bs/num_shards slice."""
     cfg = cfg_for(synth_root)
     data = get_data(cfg)
     ds = data.train_dl.ds
@@ -101,13 +103,32 @@ def test_loader_sharding_disjoint(synth_root):
         BatchLoader(ds, 4, shuffle=True, seed=0, nw=1, shard_id=i, num_shards=2)
         for i in range(2)
     ]
-    seen = []
     for dl in shards:
         dl.set_epoch(0)
-        for b in dl:
-            seen.extend(b["idxs"].tolist())
-    assert len(seen) == len(set(seen)), "shards must be disjoint"
-    assert len(seen) == 24
+    assert len(shards[0]) == len(shards[1]) == 24 // 4, "same step count (lockstep)"
+    b0 = list(shards[0])
+    b1 = list(shards[1])
+    seen = []
+    for a, b in zip(b0, b1):
+        assert a["img"].shape[0] == b["img"].shape[0] == 2  # local slices
+        combined = a["idxs"].tolist() + b["idxs"].tolist()
+        assert len(set(combined)) == 4, "slices of one global batch are disjoint"
+        seen.extend(combined)
+    assert len(seen) == len(set(seen)) == 24, "epoch covers every sample once"
+
+
+def test_loader_sharded_tail_valid_mask(synth_root):
+    """Wrap-padded tail: the valid mask must mark the right LOCAL samples."""
+    cfg = cfg_for(synth_root)
+    ds = get_data(cfg).valid_dl.ds  # 10 samples
+    shards = [
+        BatchLoader(ds, 4, shuffle=False, seed=0, nw=1, drop_last=False,
+                    shard_id=i, num_shards=2)
+        for i in range(2)
+    ]
+    total_valid = sum(b["valid"].sum() for dl in shards for b in dl)
+    assert total_valid == 10
+    assert len(shards[0]) == 3  # ceil(10/4) global batches
 
 
 def test_get_data_unknown_ds(synth_root):

@@ -203,3 +203,28 @@ def test_decomposed_head_tiny_maps(rng):
             np.asarray(got), np.asarray(want), atol=2e-4,
             err_msg=f"H={H} W={W}",
         )
+
+
+def test_spd_stem_matches_conv7x7(rng):
+    """Space-to-depth stem must equal the plain 7x7/s2 stem exactly."""
+    import jax.numpy as jnp
+    from zsgnet_tpu.models.resnet import ResNet50
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    plain = ResNet50(dtype=jnp.float32, spd_stem=False)
+    spd = ResNet50(dtype=jnp.float32, spd_stem=True)
+    vp = plain.init(jax.random.PRNGKey(0), x)
+    # Graft the plain stem kernel into the spd param tree.
+    vs = spd.init(jax.random.PRNGKey(0), x)
+    kernel = vp["params"]["conv1"]["kernel"]
+    vs_params = dict(vs["params"])
+    assert vs_params["conv1_kernel"].shape == kernel.shape
+    vs_params["conv1_kernel"] = kernel
+    # Copy every other param from the plain tree (they're named identically).
+    for k, v in vp["params"].items():
+        if k != "conv1":
+            vs_params[k] = v
+    out_p = plain.apply({"params": vp["params"], "batch_stats": vp["batch_stats"]}, x)
+    out_s = spd.apply({"params": vs_params, "batch_stats": vp["batch_stats"]}, x)
+    for a, b in zip(out_p, out_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

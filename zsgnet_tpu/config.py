@@ -97,6 +97,10 @@ class Config:
     data_axis: str = "data"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
+    # Space-to-depth stem (exact conv7×7/s2 reparam; even image sizes only).
+    # Changes the stem's param tree (conv1_kernel vs conv1/kernel) — pick
+    # per experiment; the torch converter handles both (spd_stem arg).
+    spd_stem: bool = False
     # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
     # Set automatically by the Learner when training over a mesh; makes
     # sharded training bit-equal to the same global batch on one chip.

@@ -57,7 +57,7 @@ def _bn(sd: Mapping[str, Tensor], prefix: str) -> tuple[dict, dict]:
 
 
 def convert_resnet50(
-    sd: Mapping[str, Tensor], prefix: str = ""
+    sd: Mapping[str, Tensor], prefix: str = "", spd_stem: bool = False
 ) -> tuple[dict, dict]:
     """torchvision resnet50 state_dict → (params, batch_stats) subtrees
     matching ``zsgnet_tpu.models.resnet.ResNet50`` (name=`backbone`
@@ -71,7 +71,13 @@ def convert_resnet50(
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
 
-    params["conv1"] = {"kernel": conv_kernel(sd[p("conv1.weight")])}
+    stem_kernel = conv_kernel(sd[p("conv1.weight")])
+    if spd_stem:
+        # Space-to-depth stem stores the same (7,7,3,64) kernel as a flat
+        # leaf (models/resnet.py rearranges it in-graph).
+        params["conv1_kernel"] = stem_kernel
+    else:
+        params["conv1"] = {"kernel": stem_kernel}
     params["bn1"], stats["bn1"] = _bn(sd, p("bn1"))
 
     stage_sizes = (3, 4, 6, 3)

@@ -179,12 +179,16 @@ def collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
 class BatchLoader:
     """Deterministic, shardable, prefetching batch iterator.
 
-    Replaces torch DataLoader + DistributedSampler (SURVEY.md §2 item 11):
+    Replaces torch DataLoader + DistributedSampler (SURVEY.md §2 item 11),
+    with SPMD (not DDP) sharding semantics:
       * epoch ``e`` has a deterministic permutation seeded by
         (seed, e) — every host computes the same order;
-      * ``shard_id/num_shards`` slice the *batch index space* so each host
-        of a multi-host job reads disjoint batches (per-host Grain-style
-        sharding);
+      * ``bs`` is the GLOBAL batch size. All hosts enumerate the SAME
+        global batch sequence in lockstep (required: every host
+        participates in each jitted SPMD step); ``shard_id/num_shards``
+        select which bs/num_shards-sample *slice* of each global batch
+        this host materializes (fed to
+        ``jax.make_array_from_process_local_data``);
       * ``drop_last=False`` pads the tail batch by wrapping and emits a
         ``valid`` mask — eval stays exact while shapes stay static;
       * ``nw`` decode threads prefetch ``prefetch_depth`` batches ahead.
@@ -217,6 +221,7 @@ class BatchLoader:
         self.epoch = epoch
 
     def _batch_indices(self) -> list[np.ndarray]:
+        """The GLOBAL batch sequence — identical on every host."""
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:
@@ -232,7 +237,15 @@ class BatchLoader:
                     pad = order[: self.bs - len(chunk)]
                     chunk = np.concatenate([chunk, pad])
                 batches.append(chunk)
-        return batches[self.shard_id :: self.num_shards]
+        return batches
+
+    @property
+    def local_bs(self) -> int:
+        if self.bs % self.num_shards:
+            raise ValueError(
+                f"global batch size {self.bs} not divisible by {self.num_shards} hosts"
+            )
+        return self.bs // self.num_shards
 
     def __len__(self) -> int:
         return len(self._batch_indices())
@@ -241,15 +254,18 @@ class BatchLoader:
         batches = self._batch_indices()
         n = len(self.ds)
         real_count = n - (len(batches) - 1) * self.bs if batches else 0
+        lb = self.local_bs
+        lo, hi = self.shard_id * lb, (self.shard_id + 1) * lb
 
         def make(bi: int, idxs: np.ndarray) -> dict[str, np.ndarray]:
-            samples = [self.ds[int(i)] for i in idxs]
+            local_idxs = idxs[lo:hi]  # this host's slice of the global batch
+            samples = [self.ds[int(i)] for i in local_idxs]
             batch = collate(samples)
-            if not self.drop_last and bi == len(batches) - 1 and self.num_shards == 1:
-                valid = np.arange(self.bs) < real_count
+            if not self.drop_last and bi == len(batches) - 1:
+                global_valid = np.arange(self.bs) < real_count
             else:
-                valid = np.ones(self.bs, dtype=bool)
-            batch["valid"] = valid
+                global_valid = np.ones(self.bs, dtype=bool)
+            batch["valid"] = global_valid[lo:hi]
             return batch
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch_depth)

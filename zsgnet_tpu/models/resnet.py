@@ -76,15 +76,43 @@ class ResNet50(nn.Module):
     remat: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     bn_axis: str | None = None
+    spd_stem: bool = False  # space-to-depth stem (exact reparam, see below)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array, Array]:
         x = x.astype(self.dtype)
         # Stem: 7×7/2 (torch pad=3) + BN + ReLU + 3×3/2 maxpool (torch pad=1).
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
+        if self.spd_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # Space-to-depth reparameterization (MLPerf-ResNet TPU trick):
+            # conv7×7/s2/p3 on (H,W,3) ≡ conv4×4/s1/pad(2,1) on the 2×2
+            # space-to-depth input (H/2,W/2,12), with the 7×7 kernel
+            # zero-embedded at index m+1 of an 8×8 grid (m = 2q+c-1).
+            # The PARAMETER stays the original (7,7,3,64) kernel —
+            # checkpoints are interchangeable; the rearrangement is an
+            # in-graph constant-cost reshape. Exactness tested in
+            # tests/test_model.py::test_spd_stem_matches_conv7x7.
+            k = self.param(
+                "conv1_kernel",
+                nn.initializers.lecun_normal(),
+                (7, 7, 3, 64),
+                jnp.float32,
+            ).astype(self.dtype)
+            k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            kspd = k8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+            kspd = kspd.reshape(4, 4, 12, 64)
+            b, h, w, c = x.shape
+            xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            xs = xs.reshape(b, h // 2, w // 2, 4 * c)
+            x = jax.lax.conv_general_dilated(
+                xs, kspd, (1, 1), [(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, axis_name=self.bn_axis,

@@ -173,7 +173,8 @@ class ZSGNet(nn.Module):
         if cfg.mdl_to_use == "retina":
             c_feats = ResNet50(
                 dtype=dtype, remat=cfg.remat_backbone,
-                bn_axis=cfg.bn_sync_axis or None, name="backbone",
+                bn_axis=cfg.bn_sync_axis or None, spd_stem=cfg.spd_stem,
+                name="backbone",
             )(inp["img"], train)
             feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
         elif cfg.mdl_to_use == "ssd_vgg":

@@ -116,6 +116,14 @@ class Learner:
         if self.mesh is None:
             return jax.device_put(batch)
         sh = batch_sharding(self.mesh, self.cfg)
+        if jax.process_count() > 1:
+            # Multi-host: each host holds its own slice of the global batch
+            # (the BatchLoader already shards batches by process index);
+            # assemble the global array from per-process local data.
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+                batch,
+            )
         return jax.device_put(batch, sh)
 
     def _replicate(self, state):
@@ -196,14 +204,29 @@ class Learner:
     # ------------------------------------------------------------------
     def _run_eval(self, dl, dump: str | None = None) -> dict[str, float]:
         evaluator = Evaluator(self.cfg.acc_iou_threshold)
+        multi_host = jax.process_count() > 1
         for batch in dl:
             sharded = self._shard(self._device_view(batch))
             ev = self.eval_step(self.state, sharded)
+            cases, ids, valid = batch.get("case"), batch.get("idxs"), batch.get("valid")
+            if multi_host:
+                # Per-sample outputs are sharded across hosts; gather so
+                # every host accumulates the full (global-batch) metrics
+                # (replaces the reference's reduce_dict over NCCL ranks).
+                # Host-side per-sample metadata is a local slice — gather
+                # and flatten (process index order == slice order).
+                from jax.experimental import multihost_utils
+
+                ev = multihost_utils.process_allgather(ev)
+                gather = lambda x: np.asarray(  # noqa: E731
+                    multihost_utils.process_allgather(np.asarray(x))
+                ).reshape(-1)
+                cases, ids, valid = gather(cases), gather(ids), gather(valid)
             evaluator.update(
                 {k: np.asarray(v) for k, v in ev.items()},
-                cases=batch.get("case"),
-                ids=batch.get("idxs"),
-                valid=batch.get("valid"),
+                cases=cases,
+                ids=ids,
+                valid=valid,
             )
         summary = evaluator.summarize()
         if dump and is_main_process():
