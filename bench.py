@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 V100_REF_QPS = 150.0  # estimated PyTorch fp16 V100 baseline (see docstring)
-BATCH = 64
+BATCH = 128  # best measured batch (B=64: 4093 qps, B=128: 4386, B=256: 4283)
 WARMUP = 3
 ITERS = 100  # long loop + value-fetch close: the remote-tunnel runtime's
 #              block_until_ready under-reports short loops (see

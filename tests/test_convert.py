@@ -135,3 +135,47 @@ def test_lstm_conversion_parity(rng):
     _, hb = LSTMDirection(H, reverse=True).apply({"params": jax.tree.map(jnp.asarray, pb)}, xj, lj)
     np.testing.assert_allclose(np.asarray(hf), want_f, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hb), want_b, atol=1e-5)
+
+
+def test_vgg16_ssd_conversion_shapes(rng):
+    """Synthetic amdegroot-layout state_dict → our SSDVGG16 param names,
+    verified against a real flax init (shapes must line up exactly)."""
+    from zsgnet_tpu.convert.torch_import import _VGG_SEQ_INDICES, convert_vgg16_ssd
+    from zsgnet_tpu.models.ssd_vgg import SSDVGG16
+
+    # Build the torch-side dict with correct shapes.
+    cfgs = {  # out_ch per conv, following VGG16 'D' + SSD mods
+        "conv1_1": (64, 3), "conv1_2": (64, 64),
+        "conv2_1": (128, 64), "conv2_2": (128, 128),
+        "conv3_1": (256, 128), "conv3_2": (256, 256), "conv3_3": (256, 256),
+        "conv4_1": (512, 256), "conv4_2": (512, 512), "conv4_3": (512, 512),
+        "conv5_1": (512, 512), "conv5_2": (512, 512), "conv5_3": (512, 512),
+        "conv6": (1024, 512), "conv7": (1024, 1024),
+    }
+    sd = {}
+    for idx, name in _VGG_SEQ_INDICES.items():
+        o, i = cfgs[name]
+        k = 1 if name == "conv7" else 3
+        sd[f"vgg.{idx}.weight"] = torch.randn(o, i, k, k)
+        sd[f"vgg.{idx}.bias"] = torch.randn(o)
+    sd["L2Norm.weight"] = torch.randn(512)
+    extras = [(256, 1024, 1), (512, 256, 3), (128, 512, 1), (256, 128, 3),
+              (128, 256, 1), (256, 128, 3), (128, 256, 1), (256, 128, 3)]
+    for i, (o, ic, k) in enumerate(extras):
+        sd[f"extras.{i}.weight"] = torch.randn(o, ic, k, k)
+        sd[f"extras.{i}.bias"] = torch.randn(o)
+
+    params = convert_vgg16_ssd(sd)
+
+    model = SSDVGG16(out_ch=32, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 96, 96, 3)).astype(np.float32))
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+    for name, sub in params.items():
+        assert name in ref, f"converted name {name} not in model params"
+        for leaf, v in sub.items():
+            assert ref[name][leaf].shape == v.shape, (
+                f"{name}/{leaf}: model {ref[name][leaf].shape} vs converted {v.shape}"
+            )
+    # Every model conv except the proj layers must be covered.
+    uncovered = {k for k in ref if k not in params and not k.startswith("proj")}
+    assert not uncovered, f"unconverted model params: {uncovered}"

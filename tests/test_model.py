@@ -228,3 +228,16 @@ def test_spd_stem_matches_conv7x7(rng):
     out_s = spd.apply({"params": vs_params, "batch_stats": vp["batch_stats"]}, x)
     for a, b in zip(out_p, out_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_per_level_heads_use_same_atb_false(rng):
+    """use_same_atb=False gives each pyramid level its own head params."""
+    cfg = tiny_cfg(use_same_atb=False)
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    batch = make_batch(rng, cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    names = set(variables["params"].keys())
+    assert {"head0", "head1", "head2", "head3", "head4"} <= names
+    assert "head" not in names
+    out = model.apply(variables, batch)
+    assert np.isfinite(np.asarray(out["att_out"])).all()

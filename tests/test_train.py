@@ -127,3 +127,44 @@ def test_glove_init_applied(synth_root, tmp_path):
     idx = data0.vocab.word_to_id[word]
     np.testing.assert_allclose(table[idx], 0.5)
     np.testing.assert_allclose(table[0], 0.0)  # PAD
+
+
+def test_partial_warm_start_load(synth_root, tmp_path):
+    """load_normally=False warm-starts matching leaves, keeps fresh ones."""
+    import jax
+
+    cfg = tiny_cfg(synth_root, tmp_path)
+    data = get_data(cfg)
+    learn = Learner("t_warm", data, cfg)
+    learn.overfit_batch(steps=2)
+    learn.save_model_dict()
+    trained_kernel = np.asarray(
+        learn.state.params["backbone"]["conv1"]["kernel"]
+    ).copy()
+
+    cfg2 = cfg.replace(resume=True, load_normally=False, seed=99)
+    learn2 = Learner("t_warm", data, cfg2)
+    # Matching leaves restored from the checkpoint...
+    np.testing.assert_allclose(
+        np.asarray(learn2.state.params["backbone"]["conv1"]["kernel"]),
+        trained_kernel, atol=1e-6,
+    )
+    # ...and the optimizer is fresh (step 0 moments).
+    import optax
+    flat = jax.tree.leaves(learn2.state.opt_state)
+    assert all(float(np.abs(np.asarray(x)).max()) == 0.0
+               for x in flat if hasattr(x, "shape") and x.size > 1)
+
+
+def test_no_retrace_across_batches(synth_root, tmp_path):
+    """SURVEY §4: static shapes → the jitted step must compile exactly once."""
+    cfg = tiny_cfg(synth_root, tmp_path)
+    data = get_data(cfg)
+    learn = Learner("t_retrace", data, cfg)
+    it = iter(data.train_dl)
+    for _ in range(2):
+        batch = next(it)
+        learn.state, _ = learn.train_step(
+            learn.state, learn._shard(learn._device_view(batch))
+        )
+    assert learn.train_step._cache_size() == 1, "train step retraced"

@@ -119,6 +119,57 @@ def regroup_head_kernel(kernel: np.ndarray, bias: np.ndarray | None, num_anchors
     return k2, b2
 
 
+# amdegroot/ssd.pytorch stores the VGG base as a flat nn.Sequential; these
+# are the Conv2d indices in that list, in our layer order (SURVEY.md §2
+# item 9: the reference loads vgg16_reducedfc.pth into exactly this).
+_VGG_SEQ_INDICES = {
+    0: "conv1_1", 2: "conv1_2",
+    5: "conv2_1", 7: "conv2_2",
+    10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
+    17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
+    24: "conv5_1", 26: "conv5_2", 28: "conv5_3",
+    31: "conv6", 33: "conv7",
+}
+
+
+def convert_vgg16_ssd(
+    sd: Mapping[str, Tensor], prefix: str = "vgg."
+) -> dict[str, Any]:
+    """amdegroot-style SSD VGG base (``vgg16_reducedfc.pth`` layout /
+    reference ``ssd_vgg.py`` weights) → ``SSDVGG16`` params subtree.
+
+    Maps the flat ``vgg.<i>.weight/bias`` Sequential indices to our named
+    convs (incl. the dilated fc6→conv6 and 1×1 fc7→conv7 rows 31/33),
+    ``L2Norm.weight`` → l2norm/scale, and ``extras.<i>`` pairs →
+    extra{1..4}_{1,2}. Layers absent from the dict are skipped (the
+    pretrained file ships only the VGG base).
+    """
+    params: dict[str, Any] = {}
+    for idx, name in _VGG_SEQ_INDICES.items():
+        wk = f"{prefix}{idx}.weight"
+        if wk not in sd:
+            continue
+        params[name] = {"kernel": conv_kernel(sd[wk])}
+        bk = f"{prefix}{idx}.bias"
+        if bk in sd:
+            params[name]["bias"] = _np(sd[bk])
+    for l2key in ("L2Norm.weight", "l2norm.weight", "L2Norm.scale"):
+        if l2key in sd:
+            params["l2norm"] = {"scale": _np(sd[l2key])}
+            break
+    # extras: flat list of 8 convs → extra{block}_{1,2}
+    for i in range(8):
+        wk = f"extras.{i}.weight"
+        if wk not in sd:
+            continue
+        name = f"extra{i // 2 + 1}_{i % 2 + 1}"
+        params[name] = {"kernel": conv_kernel(sd[wk])}
+        bk = f"extras.{i}.bias"
+        if bk in sd:
+            params[name]["bias"] = _np(sd[bk])
+    return params
+
+
 def convert_lstm_direction(
     sd: Mapping[str, Tensor], layer: int = 0, reverse: bool = False, prefix: str = ""
 ) -> dict[str, np.ndarray]:
