@@ -168,3 +168,12 @@ def test_no_retrace_across_batches(synth_root, tmp_path):
             learn.state, learn._shard(learn._device_view(batch))
         )
     assert learn.train_step._cache_size() == 1, "train step retraced"
+
+
+def test_remat_backbone_step(synth_root, tmp_path):
+    """cfg.remat_backbone (jax.checkpoint over bottlenecks) must train."""
+    cfg = tiny_cfg(synth_root, tmp_path, remat_backbone=True)
+    data = get_data(cfg)
+    learn = Learner("t_remat", data, cfg)
+    first, last = learn.overfit_batch(steps=3)
+    assert np.isfinite(last)
