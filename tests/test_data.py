@@ -177,6 +177,66 @@ def test_packed_cache_roundtrip(synth_root):
     np.testing.assert_array_equal(data2.train_dl.ds[1]["img"], raw.train_dl.ds[1]["img"])
 
 
+def test_prefetch_is_bounded(synth_root):
+    """The producer must never run more than nw+prefetch_depth(+queue)
+    batches ahead of the consumer (ADVICE r1: unbounded futures could
+    hold a whole decoded epoch in host memory)."""
+    import threading
+    import time
+
+    cfg = cfg_for(synth_root)
+    base = get_data(cfg).train_dl.ds
+    lock = threading.Lock()
+    decoded = {"n": 0}
+
+    class CountingDS:
+        cfg = base.cfg
+
+        def __len__(self):
+            return len(base)
+
+        def __getitem__(self, i):
+            with lock:
+                decoded["n"] += 1
+            return base[i]
+
+    bs, nw, depth = 2, 1, 1
+    dl = BatchLoader(CountingDS(), bs, shuffle=False, nw=nw, prefetch_depth=depth)
+    consumed = 0
+    max_ahead = 0.0
+    for _ in dl:  # 12 batches; slow consumer lets the producer run ahead
+        consumed += 1
+        time.sleep(0.03)
+        with lock:
+            started = decoded["n"] / bs
+        max_ahead = max(max_ahead, started - consumed)
+    assert consumed == 12
+    # Bound: deque window (nw+depth) + output queue (depth) + 1 in put().
+    window = nw + depth
+    assert max_ahead <= window + depth + 1, f"producer ran {max_ahead} batches ahead"
+
+
+def test_packed_cache_invalidates_on_csv_edit(synth_root, tmp_path):
+    """Editing CSV rows without changing the row count must rebuild the
+    packed cache (content-hash key; ADVICE r1)."""
+    import shutil
+
+    import pandas as pd
+
+    root = tmp_path / "data"
+    shutil.copytree(synth_root, root)
+    cfg = cfg_for(root, use_packed_cache=True)
+    q0 = get_data(cfg).train_dl.ds[0]["qvec"].copy()
+
+    csv_path = root / "synthetic" / "csv_dir" / "train.csv"
+    df = pd.read_csv(csv_path)
+    df.loc[0, "query"] = "xz completely different query zz"
+    df.to_csv(csv_path, index=False)
+
+    q1 = get_data(cfg).train_dl.ds[0]["qvec"]
+    assert not np.array_equal(q0, q1), "stale packed cache served after CSV edit"
+
+
 def test_model_u8_matches_f32_input(synth_root, rng):
     """ZSGNet(u8 batch) == ZSGNet(host-normalized f32 of same u8)."""
     import jax

@@ -73,6 +73,7 @@ def test_global_loss_normalization_under_shard_map(rng):
     np.testing.assert_allclose(float(out["num_pos"]), float(global_ls["num_pos"]))
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation entry must run under this env."""
     import __graft_entry__ as g

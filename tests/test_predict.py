@@ -9,6 +9,10 @@ from zsgnet_tpu.data.dataset import get_data
 from zsgnet_tpu.predict import Grounder
 from zsgnet_tpu.train.learner import Learner
 
+# Whole-module slow: the fixture trains+checkpoints a Learner (~2 min
+# of XLA:CPU compiles). Covered in the --runslow/nightly pass.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

@@ -40,6 +40,7 @@ def test_smoothen_value():
     assert 0.0 < s.smooth < 1.0
 
 
+@pytest.mark.slow
 def test_overfit_batch_loss_decreases(synth_root, tmp_path):
     cfg = tiny_cfg(synth_root, tmp_path)
     data = get_data(cfg)
@@ -48,6 +49,7 @@ def test_overfit_batch_loss_decreases(synth_root, tmp_path):
     assert last < first * 0.5, f"loss did not drop: {first} → {last}"
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(synth_root, tmp_path):
     """Grad-pmean DP must produce the same update as one big device."""
     import jax
@@ -87,6 +89,7 @@ def test_sharded_matches_single_device(synth_root, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fit_one_epoch_and_checkpoint_roundtrip(synth_root, tmp_path):
     cfg = tiny_cfg(synth_root, tmp_path, epochs=1)
     data = get_data(cfg)
@@ -129,6 +132,7 @@ def test_glove_init_applied(synth_root, tmp_path):
     np.testing.assert_allclose(table[0], 0.0)  # PAD
 
 
+@pytest.mark.slow
 def test_partial_warm_start_load(synth_root, tmp_path):
     """load_normally=False warm-starts matching leaves, keeps fresh ones."""
     import jax
@@ -156,6 +160,7 @@ def test_partial_warm_start_load(synth_root, tmp_path):
                for x in flat if hasattr(x, "shape") and x.size > 1)
 
 
+@pytest.mark.slow
 def test_no_retrace_across_batches(synth_root, tmp_path):
     """SURVEY §4: static shapes → the jitted step must compile exactly once."""
     cfg = tiny_cfg(synth_root, tmp_path)
@@ -170,6 +175,102 @@ def test_no_retrace_across_batches(synth_root, tmp_path):
     assert learn.train_step._cache_size() == 1, "train step retraced"
 
 
+def test_plateau_scheduler_semantics():
+    """Epoch-granular ReduceLROnPlateau on the val metric (VERDICT r1 #3)."""
+    from zsgnet_tpu.train.learner import PlateauScheduler
+
+    s = PlateauScheduler(factor=0.5, patience=2)
+    assert s.step(0.5) == 1.0  # first value = improvement
+    assert s.step(0.5) == 1.0  # bad epoch 1
+    assert s.step(0.5) == 1.0  # bad epoch 2 (== patience, not yet over)
+    assert s.step(0.5) == 0.5  # bad epoch 3 > patience → scale drops
+    assert s.step(0.6) == 0.5  # improvement resets the counter only
+    assert s.step(0.6) == 0.5
+    assert s.step(0.6) == 0.5
+    assert s.step(0.6) == 0.25
+
+
+def test_lr_scale_zero_freezes_params(synth_root, tmp_path):
+    """TrainState.lr_scale multiplies updates inside the jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(synth_root, tmp_path)
+    data = get_data(cfg)
+    learn = Learner("t_lrscale", data, cfg)
+    learn.state = learn._replicate(
+        learn.state.replace(lr_scale=jnp.zeros((), jnp.float32))
+    )
+    before = jax.tree.map(np.asarray, learn.state.params)
+    batch = next(iter(data.train_dl))
+    learn.state, _ = learn.train_step(
+        learn.state, learn._shard(learn._device_view(batch))
+    )
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(learn.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_best_checkpoint_survives_rotation(synth_root, tmp_path):
+    """The best-val-Acc checkpoint must outlive max_to_keep GC of the
+    rotating store, and prefer_best must restore it (VERDICT r1 weak #4)."""
+    cfg = tiny_cfg(synth_root, tmp_path)
+    data = get_data(cfg)
+    learn = Learner("t_best", data, cfg)
+    learn.overfit_batch(steps=1)  # step 1
+    learn.best_metric = 0.9
+    learn.save_model_dict(best=True)
+    best_kernel = np.asarray(learn.state.params["head"]["conv0_kernel"]).copy()
+    for _ in range(4):  # steps 2..5, all non-best
+        learn.overfit_batch(steps=1)
+        learn.save_model_dict(best=False)
+    assert learn.ckpt.latest_step() == 5
+    assert learn.ckpt_best.latest_step() == 1  # survived the rotation
+
+    learn2 = Learner("t_best", data, cfg)
+    learn2.load_model_dict(prefer_best=True)
+    assert int(learn2.state.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(learn2.state.params["head"]["conv0_kernel"]), best_kernel
+    )
+
+
+def test_eval_loss_matches_train_variant(synth_root, tmp_path):
+    """Validation loss must use the SAME variant training optimizes —
+    here BCE + best-anchor-only (r1 bug: eval always computed focal/multi
+    and dropped use_multi on the flat path)."""
+    import jax.numpy as jnp
+
+    from zsgnet_tpu.ops import anchors as anchor_ops
+    from zsgnet_tpu.ops import losses
+
+    cfg = tiny_cfg(
+        synth_root, tmp_path, use_focal=False, use_multi=False, do_dist=False
+    )
+    data = get_data(cfg)
+    learn = Learner("t_evloss", data, cfg)
+    batch = next(iter(data.valid_dl))
+    ev = learn.eval_step(learn.state, learn._shard(learn._device_view(batch)))
+
+    variables = {"params": learn.state.params, "batch_stats": learn.state.batch_stats}
+    out = learn.model.apply(variables, learn._device_view(batch), train=False)
+    labels, reg_t = anchor_ops.match_and_encode(
+        jnp.asarray(learn.anchors), jnp.asarray(batch["annot"]),
+        cfg.matching_threshold, cfg.neg_threshold, use_multi=False,
+    )
+    ls = losses.zsg_loss(
+        out["att_out"], out["bbx_out"], labels, reg_t,
+        lamb_reg=cfg.lamb_reg, use_focal=False, use_softmax=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ev["loss"])[0], float(ls["total"]), rtol=1e-5
+    )
+    # ...and the Evaluator surfaces it as the val 'loss' metric.
+    m = learn.validate()
+    assert "loss" in m and np.isfinite(m["loss"])
+
+
+@pytest.mark.slow
 def test_remat_backbone_step(synth_root, tmp_path):
     """cfg.remat_backbone (jax.checkpoint over bottlenecks) must train."""
     cfg = tiny_cfg(synth_root, tmp_path, remat_backbone=True)

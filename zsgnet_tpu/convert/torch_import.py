@@ -119,6 +119,65 @@ def regroup_head_kernel(kernel: np.ndarray, bias: np.ndarray | None, num_anchors
     return k2, b2
 
 
+# FPN: our flax names (models/fpn.py) → torch module names. The reference's
+# FPN derives from the kuangliu/pytorch-retinanet lineage (SURVEY.md §2
+# item 8 `FPN_backbone` [L]): latlayer1..3 are the C5/C4/C3 1×1 laterals,
+# toplayer* the post-merge 3×3 smooths, conv6/conv7 the P6/P7 strided convs.
+# [M]-confidence naming (reference mount empty) — pass a custom map to
+# convert_fpn when the real names differ; shapes are always verified.
+FPN_NAME_MAP = {
+    "lat5": "latlayer1",
+    "lat4": "latlayer2",
+    "lat3": "latlayer3",
+    "smooth5": "toplayer0",
+    "smooth4": "toplayer1",
+    "smooth3": "toplayer2",
+    "p6": "conv6",
+    "p7": "conv7",
+}
+
+# Expected (in_ch, out_ch, k) per FPN conv at fpn_ch=256 — used to verify a
+# mapped tensor actually is the conv we think it is.
+_FPN_SHAPES = {
+    "lat5": (2048, 256, 1), "lat4": (1024, 256, 1), "lat3": (512, 256, 1),
+    "smooth5": (256, 256, 3), "smooth4": (256, 256, 3), "smooth3": (256, 256, 3),
+    "p6": (2048, 256, 3), "p7": (256, 256, 3),
+}
+
+
+def convert_fpn(
+    sd: Mapping[str, Tensor],
+    prefix: str = "",
+    name_map: Mapping[str, str] | None = None,
+) -> dict[str, Any]:
+    """torch FPN weights → ``models.fpn.FPN`` params subtree.
+
+    Maps per :data:`FPN_NAME_MAP` (override via ``name_map``); entries
+    missing from the state dict are skipped, entries whose kernel shape
+    contradicts the FPN wiring raise (a silent mis-map would cost silent
+    accuracy — SURVEY.md §7 "hard parts").
+    """
+    name_map = dict(FPN_NAME_MAP if name_map is None else name_map)
+    params: dict[str, Any] = {}
+    for ours, theirs in name_map.items():
+        wk = f"{prefix}{theirs}.weight"
+        if wk not in sd:
+            continue
+        kernel = conv_kernel(sd[wk])  # (kH, kW, I, O)
+        want = _FPN_SHAPES.get(ours)
+        if want is not None and kernel.shape != (want[2], want[2], want[0], want[1]):
+            raise ValueError(
+                f"FPN map {theirs}→{ours}: kernel {kernel.shape} does not "
+                f"look like a {want[2]}×{want[2]} ({want[0]}→{want[1]}) conv"
+                " — fix name_map"
+            )
+        params[ours] = {"kernel": kernel}
+        bk = f"{prefix}{theirs}.bias"
+        if bk in sd:
+            params[ours]["bias"] = _np(sd[bk])
+    return params
+
+
 # amdegroot/ssd.pytorch stores the VGG base as a flat nn.Sequential; these
 # are the Conv2d indices in that list, in our layer order (SURVEY.md §2
 # item 9: the reference loads vgg16_reducedfc.pth into exactly this).
@@ -185,9 +244,12 @@ def convert_zsgnet_checkpoint(
     sd: Mapping[str, Tensor],
     *,
     backbone_prefix: str = "backbone.encoder.",
+    fpn_prefix: str = "backbone.fpn.",
+    fpn_name_map: Mapping[str, str] | None = None,
     lstm_prefix: str = "lstm.",
     embed_key: str = "embedding.weight",
     head_conv_prefixes: tuple[str, ...] = (),
+    num_anchors: int = 9,
 ) -> dict[str, Any]:
     """Full reference-ZSGNet checkpoint → partial flax variables.
 
@@ -196,6 +258,12 @@ def convert_zsgnet_checkpoint(
     best-guess defaults. Returns {"params": ..., "batch_stats": ...}
     containing every subtree that could be converted; merge into a fresh
     init with ``zsgnet_tpu.train.checkpoint.partial_load``.
+
+    The final entry of ``head_conv_prefixes`` (the A·5-channel projection)
+    is regrouped from the reference's per-anchor-interleaved channel order
+    into our component-grouped layout via :func:`regroup_head_kernel`
+    (``num_anchors`` anchors/cell). Full-model forward parity vs a torch
+    ZSGNet is asserted in tests/test_convert_full.py.
     """
     out_params: dict[str, Any] = {}
     out_stats: dict[str, Any] = {}
@@ -205,6 +273,10 @@ def convert_zsgnet_checkpoint(
         p, s = convert_resnet50(bb)
         out_params["backbone"] = p
         out_stats["backbone"] = s
+
+    fpn = convert_fpn(sd, prefix=fpn_prefix, name_map=fpn_name_map)
+    if fpn:
+        out_params["fpn"] = fpn
 
     if embed_key in sd:
         out_params.setdefault("query_enc", {})["embed"] = {
@@ -228,11 +300,17 @@ def convert_zsgnet_checkpoint(
             head["conv0_kernel"] = conv_kernel(w)
             if b is not None:
                 head["conv0_bias"] = _np(b)
-        else:
-            name = f"conv{i}" if i < len(head_conv_prefixes) - 1 else "out"
-            head[name] = {
+        elif i < len(head_conv_prefixes) - 1:
+            head[f"conv{i}"] = {
                 "kernel": conv_kernel(w),
                 **({"bias": _np(b)} if b is not None else {}),
             }
+        else:
+            # Final projection: reference emits per-anchor-interleaved
+            # channels; our PredictionHead expects component-grouped.
+            k2, b2 = regroup_head_kernel(
+                conv_kernel(w), _np(b) if b is not None else None, num_anchors
+            )
+            head["out"] = {"kernel": k2, **({"bias": b2} if b2 is not None else {})}
 
     return {"params": out_params, "batch_stats": out_stats}

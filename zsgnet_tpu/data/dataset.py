@@ -138,6 +138,7 @@ class ImgQuDataset:
     """
 
     def __init__(self, csv_path: str | Path, image_dir: str | Path, vocab: Vocab, cfg: Config):
+        self.csv_path = Path(csv_path)
         self.df = pd.read_csv(csv_path)
         if "query" not in self.df.columns:
             raise ValueError(f"{csv_path}: CSV must have a 'query' column")
@@ -271,18 +272,36 @@ class BatchLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer abandons the epoch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def producer() -> None:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            # In-flight work is bounded: at most nw batches decoding plus
+            # prefetch_depth completed ones waiting (in the deque head or
+            # the output queue). The next batch is submitted only as
+            # results drain, so a slow consumer holds O(nw+depth) decoded
+            # batches — never the whole epoch.
+            window = self.nw + self.prefetch_depth
             with ThreadPoolExecutor(self.nw) as pool:
-                futures = [pool.submit(make, bi, idxs) for bi, idxs in enumerate(batches)]
-                for f in futures:
-                    if stop.is_set():
-                        for g in futures:
-                            g.cancel()
+                pending: deque = deque()
+                for bi, idxs in enumerate(batches):
+                    pending.append(pool.submit(make, bi, idxs))
+                    if len(pending) >= window and not put(pending.popleft().result()):
                         return
-                    q.put(f.result())
-            q.put(None)
+                while pending:
+                    if not put(pending.popleft().result()):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -9,13 +9,20 @@ one-time pass writes every sample's resized uint8 image into a memmap
 query/box tensors. Epochs then assemble batches by fancy-indexing the
 memmap — pure memcpy, >10k samples/s on one core.
 
-Cache key includes the resize resolution and CSV row count; stale caches
-rebuild automatically.
+Cache key includes the resize resolution, CSV row count AND a content
+hash of the CSV bytes — editing rows without changing the count
+invalidates the cache (ADVICE r1). Builds are atomic (tmp files +
+``os.replace``, key written last) and guarded by an exclusive lock file
+so concurrent processes on a shared filesystem don't race: one builds,
+the rest wait for the key to appear.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
+import time
 from pathlib import Path
 
 import numpy as np
@@ -47,21 +54,53 @@ class PackedDataset:
 
     def _key(self, ds: ImgQuDataset) -> dict:
         h, w = self.cfg.resize_img
-        return {"n": len(ds), "h": h, "w": w, "version": 1}
+        csv_path = getattr(ds, "csv_path", None)
+        csv_md5 = (
+            hashlib.md5(Path(csv_path).read_bytes()).hexdigest()
+            if csv_path is not None and Path(csv_path).exists()
+            else ""
+        )
+        return {"n": len(ds), "h": h, "w": w, "csv_md5": csv_md5, "version": 2}
+
+    def _key_matches(self, ds: ImgQuDataset) -> bool:
+        key_path = self.cache_dir / "key.json"
+        if not key_path.exists():
+            return False
+        try:
+            return json.loads(key_path.read_text()) == self._key(ds)
+        except (json.JSONDecodeError, OSError):
+            return False
 
     def _build_if_needed(self, ds: ImgQuDataset) -> None:
-        key_path = self.cache_dir / "key.json"
-        if key_path.exists():
-            try:
-                if json.loads(key_path.read_text()) == self._key(ds):
-                    return
-            except (json.JSONDecodeError, OSError):
-                pass
+        if self._key_matches(ds):
+            return
         self.cache_dir.mkdir(parents=True, exist_ok=True)
+        lock_path = self.cache_dir / "build.lock"
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # Another process is building (or died mid-build): wait for the
+            # key, falling back to building ourselves if the lock goes stale.
+            deadline = time.monotonic() + 3600.0
+            while time.monotonic() < deadline:
+                if self._key_matches(ds):
+                    return
+                if not lock_path.exists():  # builder finished or crashed
+                    self._build_if_needed(ds)
+                    return
+                time.sleep(0.5)
+            raise TimeoutError(f"packed-cache build lock stuck: {lock_path}")
+        try:
+            self._build(ds)
+        finally:
+            lock_path.unlink(missing_ok=True)
+
+    def _build(self, ds: ImgQuDataset) -> None:
         h, w = self.cfg.resize_img
         n = len(ds)
         imgs = np.memmap(
-            self.cache_dir / "imgs.u8", dtype=np.uint8, mode="w+",
+            self.cache_dir / "imgs.u8.tmp", dtype=np.uint8, mode="w+",
             shape=(n, h, w, 3),
         )
         meta: dict[str, list] = {
@@ -86,8 +125,20 @@ class PackedDataset:
                 np.int32(row["case"]) if ds.has_case else np.int32(-1)
             )
         imgs.flush()
-        np.savez(self.cache_dir / "meta.npz", **{k: np.stack(v) for k, v in meta.items()})
-        key_path.write_text(json.dumps(self._key(ds)))
+        del imgs
+        np.savez(
+            self.cache_dir / "meta.npz.tmp",
+            **{k: np.stack(v) for k, v in meta.items()},
+        )
+        # Atomic publish: data files first, the key last (a crash mid-build
+        # leaves no valid key, so the next run rebuilds).
+        os.replace(self.cache_dir / "imgs.u8.tmp", self.cache_dir / "imgs.u8")
+        # np.savez appends .npz when the name lacks it — handle both.
+        tmp_npz = self.cache_dir / "meta.npz.tmp"
+        if not tmp_npz.exists():
+            tmp_npz = self.cache_dir / "meta.npz.tmp.npz"
+        os.replace(tmp_npz, self.cache_dir / "meta.npz")
+        (self.cache_dir / "key.json").write_text(json.dumps(self._key(ds)))
 
     def __len__(self) -> int:
         return len(self.meta["qlens"])

