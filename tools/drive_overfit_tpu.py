@@ -10,6 +10,7 @@ import sys, pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import argparse
 import tempfile
 import time
 
@@ -23,13 +24,19 @@ from zsgnet_tpu.models.zsgnet import anchor_components_for
 from zsgnet_tpu.ops.level_ops import eval_batch_levels
 from zsgnet_tpu.train.learner import Learner
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--mdl_to_use", default="retina", choices=["retina", "ssd_vgg"])
+args = ap.parse_args()
+
 root = tempfile.mkdtemp(prefix="zsg_overfit_")
 synthetic.generate(root, n_train=8, n_val=8, n_test=8, img_size=128)
 cfg = get_default_cfg().replace(
     ds_to_use="synthetic", data_dir=root, bs=8, nw=2, lr=1e-3,
     resize_img=(128, 128), max_qlen=8, lstm_dim=32, emb_dim=32,
     do_dist=False, tmp_path=root + "/tmp", use_packed_cache=True,
+    mdl_to_use=args.mdl_to_use,
 )
+print(f"mdl_to_use={cfg.mdl_to_use}")
 data = get_data(cfg)
 learn = Learner("overfit", data, cfg)
 batch = next(iter(data.train_dl))

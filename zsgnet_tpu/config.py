@@ -53,6 +53,13 @@ class Config:
     use_same_atb: bool = True    # shared prediction head across scales
     fpn_ch: int = 256
     head_ch: int = 256
+    # ssd_vgg mode: feed the head the backbone's NATIVE per-scale channels
+    # (512/1024/512/256/256/256 — the reference head interface, so reference
+    # SSD checkpoints map 1:1; heads become per-scale since their first conv
+    # shapes differ). True inserts 1×1 projections to fpn_ch first — one
+    # shared compiled head pipeline, but checkpoint-incompatible with the
+    # reference's SSD head (round-1 behavior, kept as a perf option).
+    ssd_uniform_proj: bool = False
     # --- loss (reference variants) ---
     lamb_reg: float = 1.0
     use_focal: bool = True

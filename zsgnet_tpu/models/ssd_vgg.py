@@ -9,11 +9,15 @@ For input 300²: 38²·512 (conv4_3, L2Norm-scaled), 19²·1024 (conv7),
 
 TPU-first notes: NHWC; the L2Norm layer (channelwise L2 normalize with a
 learned per-channel scale, init 20.0 — SSD's conv4_3 trick) is a pure VPU
-op; dilation uses ``kernel_dilation`` which XLA lowers natively. The
-projection to a uniform channel count for the shared prediction head is
-done by 1×1 convs in ``SSDVGG16`` (the reference instead lets its head
-take per-scale channel counts; uniform channels keep our shared-head
-``use_same_atb`` path a single compiled conv pipeline).
+op; dilation uses ``kernel_dilation`` which XLA lowers natively.
+
+Head interface: by default (``uniform_proj=False``) the 6 source maps are
+returned with their NATIVE channel counts (512/1024/512/256/256/256) —
+the reference's head interface, so reference SSD checkpoints convert 1:1
+(heads are then per-scale; see models/zsgnet.py). ``uniform_proj=True``
+adds 1×1 projections to ``out_ch`` so the shared-head ``use_same_atb``
+path compiles as one conv pipeline — faster on TPU but checkpoint-
+incompatible with the reference SSD head (cfg.ssd_uniform_proj).
 """
 
 from __future__ import annotations
@@ -79,9 +83,11 @@ class L2Norm(nn.Module):
 
 
 class SSDVGG16(nn.Module):
-    """Image → 6 source maps, all projected to ``out_ch`` channels."""
+    """Image → 6 source maps (native channels, or ``out_ch`` when
+    ``uniform_proj``)."""
 
     out_ch: int = 256
+    uniform_proj: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -138,12 +144,13 @@ class SSDVGG16(nn.Module):
         x = nn.relu(conv(128, 1, "extra4_1", 0)(x))
         x = nn.relu(conv(256, 3, "extra4_2", 1 if x.shape[1] < 3 else 0)(x))
         sources.append(x)
-        # Uniform channels for the shared fusion head.
-        out = tuple(
+        if not self.uniform_proj:
+            return tuple(sources)  # reference head interface (per-scale ch)
+        # Uniform channels for the shared fusion head (perf option).
+        return tuple(
             nn.Conv(
                 self.out_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                 name=f"proj{i}",
             )(s)
             for i, s in enumerate(sources)
         )
-        return out

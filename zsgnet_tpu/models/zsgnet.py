@@ -178,9 +178,10 @@ class ZSGNet(nn.Module):
             )(inp["img"], train)
             feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
         elif cfg.mdl_to_use == "ssd_vgg":
-            feats = SSDVGG16(out_ch=cfg.fpn_ch, dtype=dtype, name="backbone")(
-                inp["img"], train
-            )
+            feats = SSDVGG16(
+                out_ch=cfg.fpn_ch, uniform_proj=cfg.ssd_uniform_proj,
+                dtype=dtype, name="backbone",
+            )(inp["img"], train)
         else:
             raise ValueError(f"unknown mdl_to_use: {cfg.mdl_to_use}")
 
@@ -194,14 +195,23 @@ class ZSGNet(nn.Module):
         )(inp["qvec"], inp["qlens"])  # (B, 2H)
 
         # --- fusion + head, per scale (static unroll) ---
+        # A single head is shared across scales (use_same_atb, reference
+        # default) only when every scale has the same channel count; the
+        # reference-interface SSD mode feeds native per-scale channels
+        # (512/1024/…), whose first convs differ in shape → per-scale heads.
         head_kw = dict(
-            num_anchors=cfg.num_anchors, vis_ch=cfg.fpn_ch, lang_ch=cfg.lang_dim,
+            num_anchors=cfg.num_anchors, lang_ch=cfg.lang_dim,
             mid_ch=cfg.head_ch, dtype=dtype,
         )
-        head = PredictionHead(**head_kw, name="head")
-        heads = [head] * len(feats) if cfg.use_same_atb else [
-            PredictionHead(**head_kw, name=f"head{i}") for i in range(len(feats))
-        ]
+        same_ch = len({f.shape[-1] for f in feats}) == 1
+        if cfg.use_same_atb and same_ch:
+            head = PredictionHead(**head_kw, vis_ch=feats[0].shape[-1], name="head")
+            heads = [head] * len(feats)
+        else:
+            heads = [
+                PredictionHead(**head_kw, vis_ch=f.shape[-1], name=f"head{i}")
+                for i, f in enumerate(feats)
+            ]
 
         a = cfg.num_anchors
         att_levels, delta_levels, feat_sizes = [], [], []
