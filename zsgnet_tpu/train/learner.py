@@ -272,7 +272,13 @@ class Learner:
                 # and flatten (process index order == slice order).
                 from jax.experimental import multihost_utils
 
-                ev = multihost_utils.process_allgather(ev)
+                # ev leaves are GLOBAL arrays sharded over 'data' —
+                # gathering those requires tiled=True (returns the full
+                # global value on every host, already in global batch
+                # order). The host-side metadata below is per-process
+                # local numpy — default (stacking) gather + flatten, in
+                # process-index order == global-slice order.
+                ev = multihost_utils.process_allgather(ev, tiled=True)
                 gather = lambda x: np.asarray(  # noqa: E731
                     multihost_utils.process_allgather(np.asarray(x))
                 ).reshape(-1)
