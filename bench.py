@@ -7,11 +7,14 @@ forward (ResNet-50+FPN, BiLSTM, fusion head) + top-anchor box decode —
 at batch 64, bf16 activations, on ONE chip. Metric: image-query pairs
 per second.
 
-``vs_baseline`` compares against an estimated PyTorch/V100 fp16 reference
-throughput for the same model class (single-stage 300² ResNet-50-FPN
-detector ≈ 150 qps sustained; the reference repo itself never measured
-throughput, and no V100 is available here — see BASELINE.md). The
-north-star target is vs_baseline > 5.
+``vs_baseline`` compares against the reference running eager-fp32 PyTorch
+on a V100 (its actual regime — a 2019 pure-PyTorch repo, no AMP), derived
+by a measured chain (tools/measure_torch_baseline.py, VERDICT r1 #5):
+the reference-shaped torch ZSGNet measured on this host's CPU (2.90 qps,
+eager fp32, 21.5 GF/query), and the V100 figure anchored to the public
+eager-PyTorch ResNet-50 V100 throughput (≈800 img/s @ 224², ≈6.6 TFLOP/s
+effective) scaled by the FLOP ratio → ≈307 qps. AMP would bound the
+reference at ≈614 qps; the north-star target vs_baseline > 5 clears both.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +26,10 @@ import time
 
 import numpy as np
 
-V100_REF_QPS = 150.0  # estimated PyTorch fp16 V100 baseline (see docstring)
+# Eager-fp32 PyTorch V100 baseline — measured-chain derivation, see
+# module docstring + BASELINE.md "Measured baseline" (was: a bare 150
+# guess in round 1).
+V100_REF_QPS = 307.0
 BATCH = 128  # best measured batch (B=64: 4093 qps, B=128: 4386, B=256: 4283)
 WARMUP = 3
 ITERS = 100  # long loop + value-fetch close: the remote-tunnel runtime's
