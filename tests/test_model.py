@@ -241,3 +241,43 @@ def test_per_level_heads_use_same_atb_false(rng):
     assert "head" not in names
     out = model.apply(variables, batch)
     assert np.isfinite(np.asarray(out["att_out"])).all()
+
+
+def test_canvas_head_matches_per_level(rng):
+    """Canvas-packed head (cfg.head_canvas) is an EXACT reparameterization:
+    same params, same inputs → same per-level outputs as the per-level head
+    loop (models/canvas.py docstring; DESIGN.md roadmap #3)."""
+    cfg = tiny_cfg()
+    batch = make_batch(rng, cfg)
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out_ref = model.apply(variables, batch)
+
+    model_c = ZSGNet(cfg=cfg.replace(head_canvas=True), vocab_size=50)
+    out_c = model_c.apply(variables, batch)  # identical param tree
+
+    np.testing.assert_allclose(
+        np.asarray(out_c["att_out"]), np.asarray(out_ref["att_out"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c["bbx_out"]), np.asarray(out_ref["bbx_out"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_canvas_pack_levels_geometry():
+    from zsgnet_tpu.models.canvas import canvas_constants, pack_levels
+
+    sizes = anchor_ops.feature_map_sizes((300, 300))  # 38,19,10,5,3
+    layout = pack_levels(sizes)
+    # No two levels overlap and every pair is separated by >= 1 cell.
+    occ = canvas_constants(layout)["occupancy"][..., 0]
+    assert occ.sum() == sum(h * w for h, w in sizes)  # no overlap
+    for i, ((r1, c1), (h1, w1)) in enumerate(zip(layout.offsets, layout.sizes)):
+        for (r2, c2), (h2, w2) in list(zip(layout.offsets, layout.sizes))[i + 1:]:
+            # Expanding one box by the gap must not intersect the other.
+            sep = (r1 - 1 >= r2 + h2 or r2 - 1 >= r1 + h1
+                   or c1 - 1 >= c2 + w2 or c2 - 1 >= c1 + w1)
+            assert sep, f"levels at {(r1, c1)} and {(r2, c2)} touch"
+        assert r1 + h1 <= layout.height and c1 + w1 <= layout.width

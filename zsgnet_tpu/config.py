@@ -104,6 +104,11 @@ class Config:
     data_axis: str = "data"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
+    # Pack all pyramid levels into one zero-separated canvas and run the
+    # shared head ONCE per conv layer (5× fewer dispatches, ~1.2× padding
+    # FLOPs). Exact reparameterization — see models/canvas.py; only takes
+    # effect with a shared same-channel head (retina, or SSD uniform proj).
+    head_canvas: bool = False
     # Space-to-depth stem (exact conv7×7/s2 reparam; even image sizes only).
     # Changes the stem's param tree (conv1_kernel vs conv1/kernel) — pick
     # per experiment; the torch converter handles both (spd_stem arg).

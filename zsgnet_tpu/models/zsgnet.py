@@ -78,8 +78,22 @@ class PredictionHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, vis: Array, lang_vec: Array, grid: Array) -> Array:
-        """vis: (B, H, W, Cv); lang_vec: (B, Cl); grid: (H, W, 2) const."""
+    def __call__(
+        self,
+        vis: Array,
+        lang_vec: Array,
+        grid: Array,
+        border_masks: dict[str, Array] | None = None,
+        occupancy: Array | None = None,
+    ) -> Array:
+        """vis: (B, H, W, Cv); lang_vec: (B, Cl); grid: (H, W, 2) const.
+
+        Canvas mode (``models/canvas.py``): ``vis``/``grid`` are packed
+        multi-level canvases, ``border_masks`` supplies per-level border
+        indicator maps (H, W) for the language-term corrections, and
+        ``occupancy`` (H, W, 1) re-zeroes gap cells after every ReLU.
+        Parameters are identical in both modes (checkpoint-interchangeable).
+        """
         b, h, w, _ = vis.shape
         in_ch = self.vis_ch + self.lang_ch + 2
         kernel = self.param(
@@ -113,10 +127,15 @@ class PredictionHead(nn.Module):
         full = jnp.sum(u, axis=(1, 2))  # all 9 taps (interior cells)
         top, bot = jnp.sum(u[:, 0], axis=1), jnp.sum(u[:, 2], axis=1)
         left, right = jnp.sum(u[:, :, 0], axis=1), jnp.sum(u[:, :, 2], axis=1)
-        is_top = (jnp.arange(h) == 0).astype(self.dtype)[None, :, None, None]
-        is_bot = (jnp.arange(h) == h - 1).astype(self.dtype)[None, :, None, None]
-        is_l = (jnp.arange(w) == 0).astype(self.dtype)[None, None, :, None]
-        is_r = (jnp.arange(w) == w - 1).astype(self.dtype)[None, None, :, None]
+        if border_masks is None:
+            is_top = (jnp.arange(h) == 0).astype(self.dtype)[None, :, None, None]
+            is_bot = (jnp.arange(h) == h - 1).astype(self.dtype)[None, :, None, None]
+            is_l = (jnp.arange(w) == 0).astype(self.dtype)[None, None, :, None]
+            is_r = (jnp.arange(w) == w - 1).astype(self.dtype)[None, None, :, None]
+        else:  # canvas mode: per-level borders as (H, W) constants
+            to4 = lambda m: m.astype(self.dtype)[None, :, :, None]  # noqa: E731
+            is_top, is_bot = to4(border_masks["is_top"]), to4(border_masks["is_bot"])
+            is_l, is_r = to4(border_masks["is_left"]), to4(border_masks["is_right"])
         bc = lambda v: v[:, None, None, :]  # noqa: E731
         lang_term = (
             bc(full)
@@ -125,14 +144,16 @@ class PredictionHead(nn.Module):
             + is_top * is_l * bc(u[:, 0, 0]) + is_top * is_r * bc(u[:, 0, 2])
             + is_bot * is_l * bc(u[:, 2, 0]) + is_bot * is_r * bc(u[:, 2, 2])
         )
-        x = nn.relu(y + g + lang_term + bias0)
+        occ = None if occupancy is None else occupancy.astype(self.dtype)[None]
+        rezero = (lambda v: v) if occ is None else (lambda v: v * occ)  # noqa: E731
+        x = rezero(nn.relu(y + g + lang_term + bias0))
 
         conv = lambda f, name, binit: nn.Conv(  # noqa: E731
             f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             param_dtype=jnp.float32, name=name, bias_init=binit,
         )
         for i in range(1, self.depth):
-            x = nn.relu(conv(self.mid_ch, f"conv{i}", nn.initializers.zeros_init())(x))
+            x = rezero(nn.relu(conv(self.mid_ch, f"conv{i}", nn.initializers.zeros_init())(x)))
         # Score block (first A channels) starts at the focal prior.
         a = self.num_anchors
 
@@ -214,14 +235,48 @@ class ZSGNet(nn.Module):
             ]
 
         a = cfg.num_anchors
-        att_levels, delta_levels, feat_sizes = [], [], []
-        for level, f in enumerate(feats):
-            b, h, w, c = f.shape
-            feat_sizes.append((h, w))
-            grid = jnp.asarray(
-                anchor_ops.create_grid((h, w), flatten=False), dtype=dtype
-            )  # (H, W, 2) compile-time constant
-            out = heads[level](f, q_vec, grid).astype(jnp.float32)  # (B, H, W, A*5)
+        feat_sizes = [f.shape[1:3] for f in feats]
+        if cfg.head_canvas and cfg.use_same_atb and same_ch:
+            # Canvas mode (DESIGN.md roadmap #3): all levels packed into one
+            # zero-separated canvas, the shared head runs ONCE per conv
+            # layer instead of once per level. Exact — see models/canvas.py.
+            from zsgnet_tpu.models.canvas import canvas_constants, pack_levels
+
+            layout = pack_levels(feat_sizes)
+            consts = canvas_constants(layout)
+            b = feats[0].shape[0]
+            canvas = jnp.zeros(
+                (b, layout.height, layout.width, feats[0].shape[-1]), dtype
+            )
+            for f, (r, c), (h, w) in zip(feats, layout.offsets, layout.sizes):
+                canvas = canvas.at[:, r : r + h, c : c + w, :].set(f.astype(dtype))
+            out = heads[0](
+                canvas,
+                q_vec,
+                jnp.asarray(consts["grid"], dtype),
+                border_masks={
+                    k: jnp.asarray(consts[k])
+                    for k in ("is_top", "is_bot", "is_left", "is_right")
+                },
+                occupancy=jnp.asarray(consts["occupancy"]),
+            ).astype(jnp.float32)  # (B, CH, CW, A*5)
+            level_outs = [
+                out[:, r : r + h, c : c + w, :]
+                for (r, c), (h, w) in zip(layout.offsets, layout.sizes)
+            ]
+        else:
+            level_outs = []
+            for level, f in enumerate(feats):
+                h, w = feat_sizes[level]
+                grid = jnp.asarray(
+                    anchor_ops.create_grid((h, w), flatten=False), dtype=dtype
+                )  # (H, W, 2) compile-time constant
+                level_outs.append(
+                    heads[level](f, q_vec, grid).astype(jnp.float32)
+                )  # (B, H, W, A*5)
+
+        att_levels, delta_levels = [], []
+        for out in level_outs:
             # Component-grouped channel ranges — native-layout slices.
             att_levels.append(out[..., :a])  # (B, H, W, A)
             delta_levels.append(

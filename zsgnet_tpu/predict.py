@@ -33,6 +33,12 @@ class Grounder:
     """Load-once, call-many grounding predictor."""
 
     def __init__(self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8):
+        # Serving default: the canvas-packed head (models/canvas.py) is
+        # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
+        # v5e; BASELINE.md), while the per-level head wins at throughput
+        # batches. Exact reparam, identical params — pick by batch size.
+        if batch_size <= 16 and cfg.use_same_atb:
+            cfg = cfg.replace(head_canvas=True)
         self.cfg = cfg
         self.vocab = vocab
         self.variables = variables
