@@ -212,3 +212,113 @@ def test_full_model_conversion_parity(rng):
     assert bbx.shape == tuple(want_bbx.shape)
     np.testing.assert_allclose(att, want_att.numpy(), atol=5e-4, rtol=2e-3)
     np.testing.assert_allclose(bbx, want_bbx.numpy(), atol=5e-4, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity(rng):
+    """Beyond logits parity: the TRAINING MATH matches the reference.
+
+    Same converted weights, same batch, same labels → run 4 Adam steps in
+    pure torch (reference-shaped model + reference loss formulas) and in
+    this framework's production train step (level-path loss, optax Adam),
+    and assert the per-step loss trajectories coincide. Covers gradients,
+    loss composition, Adam semantics, and BN training-mode moments in one
+    end-to-end proof (the strongest accuracy-parity proxy after
+    test_full_model_conversion_parity while real datasets are absent).
+    """
+    import jax
+
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for
+    from zsgnet_tpu.ops.anchors import match_and_encode
+    from zsgnet_tpu.parallel.train_step import create_train_state, make_train_step
+
+    VOCAB, EMB, HID, FPN_CH, HEAD_CH, A = 30, 16, 16, 64, 32, 9
+    LR, LAMB, STEPS = 1e-3, 1.0, 4
+    tm = TorchZSGNet(VOCAB, EMB, HID, FPN_CH, HEAD_CH, A).train()
+    _randomize_bn(tm)
+
+    converted = convert_zsgnet_checkpoint(
+        tm.state_dict(),
+        backbone_prefix="backbone.encoder.",
+        fpn_prefix="backbone.fpn.",
+        lstm_prefix="lstm.",
+        embed_key="embedding.weight",
+        head_conv_prefixes=(
+            "head.conv0", "head.conv1", "head.conv2", "head.conv3", "head.out"
+        ),
+        num_anchors=A,
+    )
+
+    B, T = 2, 8
+    img = rng.normal(size=(B, 64, 64, 3)).astype(np.float32)
+    qvec = rng.integers(1, VOCAB, size=(B, T)).astype(np.int32)
+    qlens = np.array([5, T], dtype=np.int32)
+    annot = np.concatenate(
+        [rng.uniform(-0.8, -0.2, (B, 2)), rng.uniform(0.2, 0.8, (B, 2))], axis=1
+    ).astype(np.float32)
+
+    cfg = Config(
+        resize_img=(64, 64), emb_dim=EMB, lstm_dim=HID, fpn_ch=FPN_CH,
+        head_ch=HEAD_CH, max_qlen=T, compute_dtype="float32", use_pallas=False,
+        lr=LR, lamb_reg=LAMB, do_dist=False, bs=B,
+    )
+    anchors = anchor_pyramid_for(cfg)
+    labels, reg_t = match_and_encode(
+        jnp.asarray(anchors), jnp.asarray(annot),
+        cfg.matching_threshold, cfg.neg_threshold, use_multi=cfg.use_multi,
+    )
+    labels_t = torch.tensor(np.asarray(labels))
+    reg_t_t = torch.tensor(np.asarray(reg_t))
+
+    # --- torch side: reference loss formulas, torch Adam ---
+    def torch_loss(att, bbx):
+        pos = (labels_t == 1).float()
+        valid = (labels_t != -1).float()
+        num_pos = pos.sum().clamp(min=1.0)
+        x, t = att, pos
+        bce = x.clamp(min=0) - x * t + torch.log1p(torch.exp(-x.abs()))
+        p = torch.sigmoid(x)
+        p_t = p * t + (1 - p) * (1 - t)
+        alpha_t = 0.25 * t + 0.75 * (1 - t)
+        cls = (alpha_t * (1 - p_t) ** 2 * bce * valid).sum() / num_pos
+        beta = 1.0 / 9.0
+        d = (bbx - reg_t_t).abs()
+        sl = torch.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+        box = (sl * pos[..., None]).sum() / num_pos
+        return cls + LAMB * box
+
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    img_t = torch.tensor(img.transpose(0, 3, 1, 2))
+    qvec_t = torch.tensor(qvec.astype(np.int64))
+    qlens_t = torch.tensor(qlens)
+    torch_losses = []
+    for _ in range(STEPS):
+        opt.zero_grad()
+        att, bbx = tm(img_t, qvec_t, qlens_t)
+        loss = torch_loss(att, bbx)
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # --- framework side: production train step on the converted weights ---
+    model = ZSGNet(cfg=cfg, vocab_size=VOCAB)
+    batch = {
+        "img": jnp.asarray(img), "qvec": jnp.asarray(qvec),
+        "qlens": jnp.asarray(qlens), "annot": jnp.asarray(annot),
+    }
+    import jax as _jax
+
+    state = create_train_state(cfg, model, batch, _jax.random.PRNGKey(0))
+    state = state.replace(
+        params=converted["params"],
+        batch_stats=converted["batch_stats"],
+        opt_state=state.tx.init(converted["params"]),
+    )
+    step = make_train_step(cfg, anchors, mesh=None)
+    jax_losses = []
+    for _ in range(STEPS):
+        state, ls = step(state, batch)
+        jax_losses.append(float(ls["total"]))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-3)
+    assert jax_losses[-1] < jax_losses[0]  # both actually learned

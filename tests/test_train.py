@@ -5,6 +5,8 @@ sharded train step must agree with the unsharded one; checkpoints must
 round-trip through the Learner.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -278,3 +280,15 @@ def test_remat_backbone_step(synth_root, tmp_path):
     learn = Learner("t_remat", data, cfg)
     first, last = learn.overfit_batch(steps=3)
     assert np.isfinite(last)
+
+
+def test_tensorboard_scalar_export(synth_root, tmp_path):
+    """cfg.use_tensorboard mirrors JSONL rows to TB event files (rank-0)."""
+    pytest.importorskip("tensorboardX")
+    cfg = tiny_cfg(synth_root, tmp_path, do_dist=False, use_tensorboard=True)
+    data = get_data(cfg)
+    learn = Learner("t_tb", data, cfg)
+    learn._log_row({"epoch": 0, "step": 1, "train_total": 1.5, "val_Acc": 0.25})
+    tb_dir = Path(cfg.tmp_path) / "logs" / "tb" / "t_tb"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0

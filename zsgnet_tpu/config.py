@@ -113,6 +113,17 @@ class Config:
     # Changes the stem's param tree (conv1_kernel vs conv1/kernel) — pick
     # per experiment; the torch converter handles both (spd_stem arg).
     spd_stem: bool = False
+    # Mirror the JSONL epoch rows to TensorBoard scalars (tensorboardX,
+    # rank-0 only; silently off if the package is absent).
+    use_tensorboard: bool = False
+    # BatchNorm batch variance as E[(x-μ)²] (torch semantics) instead of
+    # flax's default E[x²]-E[x]². The fast form's cancellation puts 4-18%
+    # relative error into training-mode BN GRADIENTS through ResNet-50
+    # (see tests/test_convert_full.py::test_training_trajectory_parity);
+    # exact costs ~9% train-step time (933 vs 991 qps @B=128, v5e).
+    # Keep True for reference-parity training; False trades parity for
+    # speed. Inference is unaffected (running stats).
+    bn_exact_variance: bool = True
     # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
     # Set automatically by the Learner when training over a mesh; makes
     # sharded training bit-equal to the same global batch on one chip.

@@ -33,9 +33,12 @@ Tensor = Any  # torch.Tensor without importing torch at module scope
 
 
 def _np(t: Tensor) -> np.ndarray:
+    # .copy() matters: .numpy() SHARES storage with the live torch tensor,
+    # so converting a model and then training it (in-place optimizer
+    # updates) would silently mutate the "converted" checkpoint.
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def conv_kernel(t: Tensor) -> np.ndarray:
@@ -136,12 +139,14 @@ FPN_NAME_MAP = {
     "p7": "conv7",
 }
 
-# Expected (in_ch, out_ch, k) per FPN conv at fpn_ch=256 — used to verify a
-# mapped tensor actually is the conv we think it is.
+# Expected (in_ch, k) per FPN conv — used to verify a mapped tensor
+# actually is the conv we think it is. in_ch None means "equals the FPN
+# channel count" (inferred from the kernels, so any fpn_ch converts);
+# fixed values are the ResNet-50 C3/C4/C5 widths.
 _FPN_SHAPES = {
-    "lat5": (2048, 256, 1), "lat4": (1024, 256, 1), "lat3": (512, 256, 1),
-    "smooth5": (256, 256, 3), "smooth4": (256, 256, 3), "smooth3": (256, 256, 3),
-    "p6": (2048, 256, 3), "p7": (256, 256, 3),
+    "lat5": (2048, 1), "lat4": (1024, 1), "lat3": (512, 1),
+    "smooth5": (None, 3), "smooth4": (None, 3), "smooth3": (None, 3),
+    "p6": (2048, 3), "p7": (None, 3),
 }
 
 
@@ -159,18 +164,33 @@ def convert_fpn(
     """
     name_map = dict(FPN_NAME_MAP if name_map is None else name_map)
     params: dict[str, Any] = {}
+    # FPN channel count, inferred from the output dim of every mapped conv
+    # (they must all agree).
+    fpn_ch = None
+    for ours, theirs in name_map.items():
+        wk = f"{prefix}{theirs}.weight"
+        if wk in sd:
+            out_ch = conv_kernel(sd[wk]).shape[3]
+            if fpn_ch is not None and out_ch != fpn_ch:
+                raise ValueError(
+                    f"FPN convs disagree on channel count ({fpn_ch} vs "
+                    f"{out_ch} at {theirs}) — fix name_map"
+                )
+            fpn_ch = out_ch
     for ours, theirs in name_map.items():
         wk = f"{prefix}{theirs}.weight"
         if wk not in sd:
             continue
         kernel = conv_kernel(sd[wk])  # (kH, kW, I, O)
         want = _FPN_SHAPES.get(ours)
-        if want is not None and kernel.shape != (want[2], want[2], want[0], want[1]):
-            raise ValueError(
-                f"FPN map {theirs}→{ours}: kernel {kernel.shape} does not "
-                f"look like a {want[2]}×{want[2]} ({want[0]}→{want[1]}) conv"
-                " — fix name_map"
-            )
+        if want is not None:
+            in_ch = want[0] if want[0] is not None else fpn_ch
+            if kernel.shape != (want[1], want[1], in_ch, fpn_ch):
+                raise ValueError(
+                    f"FPN map {theirs}→{ours}: kernel {kernel.shape} does not "
+                    f"look like a {want[1]}×{want[1]} ({in_ch}→{fpn_ch}) conv"
+                    " — fix name_map"
+                )
         params[ours] = {"kernel": kernel}
         bk = f"{prefix}{theirs}.bias"
         if bk in sd:

@@ -36,6 +36,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     bn_axis: str | None = None  # mesh axis for sync-BN under shard_map
+    bn_exact_variance: bool = True  # torch-parity grads; see Config
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -46,6 +47,12 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.bn_axis,
+            # E[(x-μ)²] like torch, NOT flax's default E[x²]-E[x]²: the
+            # fast form's cancellation costs ~4-18% relative error in
+            # training-mode BN *gradients* through a ResNet-50 (fp32!),
+            # breaking trajectory parity vs the reference
+            # (tests/test_convert_full.py::test_training_trajectory_parity).
+            use_fast_variance=not self.bn_exact_variance,
             name=name,
         )
         conv = lambda f, k, s, name, pad: nn.Conv(  # noqa: E731
@@ -76,6 +83,7 @@ class ResNet50(nn.Module):
     remat: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     bn_axis: str | None = None
+    bn_exact_variance: bool = True
     spd_stem: bool = False  # space-to-depth stem (exact reparam, see below)
 
     @nn.compact
@@ -116,6 +124,7 @@ class ResNet50(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, axis_name=self.bn_axis,
+            use_fast_variance=not self.bn_exact_variance,  # see Bottleneck
             name="bn1",
         )(x)
         x = nn.relu(x)
@@ -132,7 +141,9 @@ class ResNet50(nn.Module):
                 stride = 2 if (block_i == 0 and stage_i > 0) else 1
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
-                    bn_axis=self.bn_axis, name=f"layer{stage_i + 1}_{block_i}",
+                    bn_axis=self.bn_axis,
+                    bn_exact_variance=self.bn_exact_variance,
+                    name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
             if stage_i >= 1:  # C3, C4, C5
                 feats.append(x)

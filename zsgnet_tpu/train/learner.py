@@ -101,6 +101,17 @@ class Learner:
         for d in (self.log_dir, self.model_dir, self.pred_dir):
             d.mkdir(parents=True, exist_ok=True)
         self.log_file = self.log_dir / f"{uid}.jsonl"
+        # TensorBoard scalars (SURVEY.md §5 metrics/logging): same rows as
+        # the JSONL, written rank-0-only via tensorboardX when available
+        # and cfg.use_tensorboard — never a hard dependency.
+        self._tb = None
+        if cfg.use_tensorboard and is_main_process():
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.log_dir / "tb" / uid))
+            except Exception:
+                self._tb = None
 
         # Under a mesh, BatchNorm syncs batch moments over ICI so sharded
         # training matches the same global batch on one chip exactly.
@@ -390,5 +401,11 @@ class Learner:
             return
         with open(self.log_file, "a") as f:
             f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            step = int(row.get("step", row.get("epoch", 0)))
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    self._tb.add_scalar(k, float(v), step)
+            self._tb.flush()
         keys = ("epoch", "train_loss_smooth", "val_Acc", "val_MaxPos", "qps")
         print("  ".join(f"{k}={row[k]:.4g}" if isinstance(row.get(k), float) else f"{k}={row.get(k)}" for k in keys))
