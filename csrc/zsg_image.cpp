@@ -26,6 +26,16 @@
 
 #include <zlib.h>
 
+// JPEG decode rides the system libjpeg when present (ZSG_USE_JPEG set by
+// the Makefile iff jpeglib.h exists); PIL uses the same library, so the
+// two paths produce identical RGB bytes. Absent the header, JPEG files
+// simply fall back to PIL (return code -2).
+#ifdef ZSG_USE_JPEG
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#endif
+
 namespace {
 
 constexpr uint8_t kPngSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
@@ -298,6 +308,128 @@ int zsg_resize_u8(const uint8_t* rgb, int h, int w, int out_h, int out_w,
       }
     }
   }
+  return 0;
+}
+
+#ifdef ZSG_USE_JPEG
+namespace {
+struct ZsgJpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+void zsg_jpeg_error_exit(j_common_ptr cinfo) {
+  ZsgJpegErr* err = reinterpret_cast<ZsgJpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);  // corrupt stream → error return, not exit()
+}
+}  // namespace
+#endif
+
+// JPEG bytes → malloc'd RGB8 buffer. Returns 0 ok, -1 corrupt/unsupported,
+// -2 compiled without libjpeg. Baseline+progressive, gray and YCbCr
+// (anything libjpeg can emit as 1- or 3-component output); CMYK → -1
+// (PIL fallback).
+int zsg_jpeg_decode(const uint8_t* data, size_t n, uint8_t** out_rgb,
+                    int* out_h, int* out_w) {
+#ifndef ZSG_USE_JPEG
+  (void)data; (void)n; (void)out_rgb; (void)out_h; (void)out_w;
+  return -2;
+#else
+  jpeg_decompress_struct cinfo;
+  ZsgJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = zsg_jpeg_error_exit;
+  uint8_t* rgb = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::free(rgb);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(n));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  if (cinfo.jpeg_color_space == JCS_CMYK ||
+      cinfo.jpeg_color_space == JCS_YCCK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;  // libjpeg upsamples gray→RGB for us
+  jpeg_start_decompress(&cinfo);
+  const int w = int(cinfo.output_width), h = int(cinfo.output_height);
+  if (cinfo.output_components != 3 || w <= 0 || h <= 0) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  rgb = static_cast<uint8_t*>(std::malloc(size_t(h) * w * 3));
+  if (!rgb) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = rgb + size_t(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_rgb = rgb;
+  *out_h = h;
+  *out_w = w;
+  return 0;
+#endif
+}
+
+int zsg_has_jpeg(void) {
+#ifdef ZSG_USE_JPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Format-sniffing decode: PNG signature or JPEG SOI → the right decoder.
+static int zsg_image_decode(const uint8_t* data, size_t n, uint8_t** out_rgb,
+                            int* out_h, int* out_w) {
+  if (n >= 8 && std::memcmp(data, kPngSig, 8) == 0)
+    return zsg_png_decode(data, n, out_rgb, out_h, out_w);
+  if (n >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return zsg_jpeg_decode(data, n, out_rgb, out_h, out_w);
+  return -1;
+}
+
+// One-shot: PNG/JPEG bytes → resized uint8 (out_h, out_w, 3) + original
+// size. Sniffs the container from the magic bytes.
+int zsg_image_load_u8(const uint8_t* data, size_t n, int out_h, int out_w,
+                      uint8_t* out, int* orig_h, int* orig_w) {
+  uint8_t* rgb = nullptr;
+  int h = 0, w = 0;
+  int rc = zsg_image_decode(data, n, &rgb, &h, &w);
+  if (rc != 0) return rc;
+  rc = zsg_resize_u8(rgb, h, w, out_h, out_w, out);
+  std::free(rgb);
+  if (rc != 0) return rc;
+  *orig_h = h;
+  *orig_w = w;
+  return 0;
+}
+
+// One-shot: PNG/JPEG bytes → normalized float32 (out_h, out_w, 3) +
+// original size. Sniffs the container from the magic bytes.
+int zsg_image_load(const uint8_t* data, size_t n, int out_h, int out_w,
+                   const float* mean, const float* stdv, float* out,
+                   int* orig_h, int* orig_w) {
+  uint8_t* rgb = nullptr;
+  int h = 0, w = 0;
+  int rc = zsg_image_decode(data, n, &rgb, &h, &w);
+  if (rc != 0) return rc;
+  rc = zsg_resize_normalize_rgb(rgb, h, w, out_h, out_w, mean, stdv, out);
+  std::free(rgb);
+  if (rc != 0) return rc;
+  *orig_h = h;
+  *orig_w = w;
   return 0;
 }
 

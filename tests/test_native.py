@@ -94,3 +94,61 @@ def test_dataset_uses_native_for_png(tmp_path, rng):
     s = get_data(cfg).train_dl.ds[0]
     assert s["img"].shape == (48, 48, 3)
     assert np.isfinite(s["img"]).all()
+
+
+def _jpeg_bytes(arr: np.ndarray, quality: int = 90) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    not (native.available() and native.has_jpeg()),
+    reason="native libjpeg decode unavailable",
+)
+@pytest.mark.parametrize("shape", [(97, 121), (300, 200)])
+def test_jpeg_load_u8_matches_pil(rng, shape):
+    """Native JPEG decode (system libjpeg — the library PIL links) is
+    byte-identical to PIL at native size and ≤2/255 after resample."""
+    arr = (rng.normal(0.5, 0.2, size=(*shape, 3)).clip(0, 1) * 255).astype(np.uint8)
+    jpg = _jpeg_bytes(arr)
+    # exact at native size
+    got, orig = native.image_load_u8(jpg, shape)
+    with Image.open(io.BytesIO(jpg)) as im:
+        want = np.asarray(im.convert("RGB"), np.uint8)
+    assert orig == shape
+    np.testing.assert_array_equal(got, want)
+    # resampled path within Pillow-parity tolerance
+    got64, _ = native.image_load_u8(jpg, (64, 64))
+    with Image.open(io.BytesIO(jpg)) as im:
+        want64 = np.asarray(
+            im.convert("RGB").resize((64, 64), Image.BILINEAR), np.uint8
+        )
+    assert np.abs(got64.astype(int) - want64.astype(int)).max() <= 2
+
+
+@pytest.mark.skipif(
+    not (native.available() and native.has_jpeg()),
+    reason="native libjpeg decode unavailable",
+)
+def test_jpeg_load_float_and_grayscale(rng):
+    arr = (rng.normal(0.5, 0.2, size=(50, 70, 3)).clip(0, 1) * 255).astype(np.uint8)
+    jpg = _jpeg_bytes(arr)
+    got, orig = native.image_load(jpg, (32, 32), IMAGENET_MEAN, IMAGENET_STD)
+    want, orig_w = _pil_reference(jpg, (32, 32))
+    assert orig == orig_w == (50, 70)
+    tol = 2.5 / 255.0 / IMAGENET_STD.min()
+    np.testing.assert_allclose(got, want, atol=tol)
+    # grayscale JPEG → RGB expansion matches PIL
+    gray = rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=92)
+    jb = buf.getvalue()
+    got_g, _ = native.image_load_u8(jb, (40, 40))
+    with Image.open(io.BytesIO(jb)) as im:
+        want_g = np.asarray(im.convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(got_g, want_g)
+
+
+def test_image_load_rejects_garbage():
+    assert native.image_load_u8(b"not an image at all", (8, 8)) is None

@@ -51,7 +51,7 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
     """→ (HWC float32 normalized image, original (H, W)).
 
-    Decode → Pillow-bilinear resize → ImageNet normalize. PNGs go through
+    Decode → Pillow-bilinear resize → ImageNet normalize. PNGs and JPEGs\n    (libjpeg — the library PIL itself links, so bytes are identical) go through
     the native C++ pipeline (csrc/zsg_image.cpp — single-pass, no Python
     per-pixel overhead); other formats decode with PIL and still use the
     native resample+normalize stage. Pure-PIL fallback keeps behavior
@@ -59,8 +59,8 @@ def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tup
     """
     from zsgnet_tpu.data import native
 
-    if path.suffix.lower() == ".png":
-        out = native.png_load(path.read_bytes(), resize_hw, IMAGENET_MEAN, IMAGENET_STD)
+    if path.suffix.lower() in (".png", ".jpg", ".jpeg"):
+        out = native.image_load(path.read_bytes(), resize_hw, IMAGENET_MEAN, IMAGENET_STD)
         if out is not None:
             return out
 
@@ -87,8 +87,8 @@ def _load_image_u8(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, 
     skips normalization and ships 4× fewer bytes."""
     from zsgnet_tpu.data import native
 
-    if path.suffix.lower() == ".png":
-        out = native.png_load_u8(path.read_bytes(), resize_hw)
+    if path.suffix.lower() in (".png", ".jpg", ".jpeg"):
+        out = native.image_load_u8(path.read_bytes(), resize_hw)
         if out is not None:
             return out
 

@@ -49,6 +49,21 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.zsg_image_load.restype = ctypes.c_int
+        lib.zsg_image_load.argtypes = lib.zsg_png_load.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.zsg_image_load_u8.restype = ctypes.c_int
+        lib.zsg_image_load_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.zsg_has_jpeg.restype = ctypes.c_int
+        lib.zsg_has_jpeg.argtypes = []
         lib.zsg_png_load_u8.restype = ctypes.c_int
         lib.zsg_png_load_u8.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -69,6 +84,62 @@ def _load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def has_jpeg() -> bool:
+    """True when the compiled library carries libjpeg decode."""
+    lib = _load()
+    return bool(lib is not None and lib.zsg_has_jpeg())
+
+
+def image_load(
+    img_bytes: bytes, out_hw: tuple[int, int], mean: np.ndarray, std: np.ndarray
+) -> tuple[np.ndarray, tuple[int, int]] | None:
+    """PNG/JPEG bytes (format sniffed) → (normalized float32 (H, W, 3),
+    original (h, w)), or None if the native path can't handle this file
+    (caller → PIL). JPEG decode rides the same libjpeg PIL links, so the
+    two paths are byte-identical (tests/test_native.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, 3), np.float32)
+    mean32 = np.ascontiguousarray(mean, np.float32)
+    std32 = np.ascontiguousarray(std, np.float32)
+    orig_h = ctypes.c_int(0)
+    orig_w = ctypes.c_int(0)
+    rc = lib.zsg_image_load(
+        img_bytes, len(img_bytes), oh, ow,
+        mean32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(orig_h), ctypes.byref(orig_w),
+    )
+    if rc != 0:
+        return None
+    return out, (orig_h.value, orig_w.value)
+
+
+def image_load_u8(
+    img_bytes: bytes, out_hw: tuple[int, int]
+) -> tuple[np.ndarray, tuple[int, int]] | None:
+    """PNG/JPEG bytes (format sniffed) → (resized uint8 (H, W, 3),
+    original (h, w)), or None (caller → PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((oh, ow, 3), np.uint8)
+    orig_h = ctypes.c_int(0)
+    orig_w = ctypes.c_int(0)
+    rc = lib.zsg_image_load_u8(
+        img_bytes, len(img_bytes), oh, ow,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(orig_h), ctypes.byref(orig_w),
+    )
+    if rc != 0:
+        return None
+    return out, (orig_h.value, orig_w.value)
 
 
 def png_load(
