@@ -215,7 +215,8 @@ def test_full_model_conversion_parity(rng):
 
 
 @pytest.mark.slow
-def test_training_trajectory_parity(rng):
+@pytest.mark.parametrize("bn_variance", ["exact", "shifted"])
+def test_training_trajectory_parity(rng, bn_variance):
     """Beyond logits parity: the TRAINING MATH matches the reference.
 
     Same converted weights, same batch, same labels → run 4 Adam steps in
@@ -234,6 +235,7 @@ def test_training_trajectory_parity(rng):
 
     VOCAB, EMB, HID, FPN_CH, HEAD_CH, A = 30, 16, 16, 64, 32, 9
     LR, LAMB, STEPS = 1e-3, 1.0, 4
+    torch.manual_seed(0)  # unseeded init makes the fp32 drift budget flaky
     tm = TorchZSGNet(VOCAB, EMB, HID, FPN_CH, HEAD_CH, A).train()
     _randomize_bn(tm)
 
@@ -260,7 +262,7 @@ def test_training_trajectory_parity(rng):
     cfg = Config(
         resize_img=(64, 64), emb_dim=EMB, lstm_dim=HID, fpn_ch=FPN_CH,
         head_ch=HEAD_CH, max_qlen=T, compute_dtype="float32", use_pallas=False,
-        lr=LR, lamb_reg=LAMB, do_dist=False, bs=B,
+        lr=LR, lamb_reg=LAMB, do_dist=False, bs=B, bn_variance=bn_variance,
     )
     anchors = anchor_pyramid_for(cfg)
     labels, reg_t = match_and_encode(
@@ -320,5 +322,18 @@ def test_training_trajectory_parity(rng):
         state, ls = step(state, batch)
         jax_losses.append(float(ls["total"]))
 
-    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-3)
-    assert jax_losses[-1] < jax_losses[0]  # both actually learned
+    # Per-step budget: fp32 associativity differences (conv reduction
+    # order, XLA vs torch) are amplified by Adam's per-param normalization,
+    # so the two trajectories drift geometrically — allow ~2×/step from a
+    # 1e-3 base. The failure mode this test exists to catch is SYSTEMATIC
+    # divergence: flax's fast-variance BN gradients blew this budget by
+    # step 1 (>40% at step 2); "shifted"'s worst case (random running
+    # stats, c far from μ) stays inside it.
+    for i, (j, t) in enumerate(zip(jax_losses, torch_losses)):
+        budget = 1e-3 * (2.5 ** i)
+        assert abs(j - t) / abs(t) <= budget, (
+            f"step {i}: jax {j} vs torch {t} exceeds rtol {budget:.4g} "
+            f"(bn_variance={bn_variance}; full: {jax_losses} vs {torch_losses})"
+        )
+    assert jax_losses[-1] < 0.7 * jax_losses[0]  # both actually learned
+    assert torch_losses[-1] < 0.7 * torch_losses[0]

@@ -281,3 +281,77 @@ def test_canvas_pack_levels_geometry():
                    or c1 - 1 >= c2 + w2 or c2 - 1 >= c1 + w1)
             assert sep, f"levels at {(r1, c1)} and {(r2, c2)} touch"
         assert r1 + h1 <= layout.height and c1 + w1 <= layout.width
+
+
+def test_shifted_bn_matches_exact():
+    """ShiftedBatchNorm (one-pass, models/norm.py) == exact-variance
+    nn.BatchNorm in outputs, GRADIENTS, and running-stat updates, given a
+    running mean near the batch mean (the pretrained-init regime)."""
+    import flax.linen as nn
+    import jax
+
+    from zsgnet_tpu.models.norm import ShiftedBatchNorm
+
+    rng_np = np.random.default_rng(1)
+    x = (rng_np.normal(size=(4, 9, 9, 16)) * 3 + 5).astype(np.float32)
+    g = rng_np.normal(size=x.shape).astype(np.float32)
+    params = {
+        "scale": jnp.asarray(rng_np.uniform(0.5, 1.5, 16).astype(np.float32)),
+        "bias": jnp.asarray(rng_np.uniform(-0.5, 0.5, 16).astype(np.float32)),
+    }
+    # running mean near (not equal to) the batch mean; var arbitrary
+    stats = {
+        "mean": jnp.asarray((x.mean((0, 1, 2)) + 0.05).astype(np.float32)),
+        "var": jnp.asarray(rng_np.uniform(5, 15, 16).astype(np.float32)),
+    }
+    kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5,
+              dtype=jnp.float32, param_dtype=jnp.float32)
+    exact = nn.BatchNorm(use_fast_variance=False, **kw)
+    shifted = ShiftedBatchNorm(**kw)
+
+    def run(mod, p, v):
+        y, newv = mod.apply(
+            {"params": p, "batch_stats": stats}, v, mutable=["batch_stats"]
+        )
+        return jnp.vdot(y, jnp.asarray(g)), (y, newv["batch_stats"])
+
+    (s_e, (y_e, ns_e)), g_e = jax.value_and_grad(
+        lambda p, v: run(exact, p, v), argnums=(0, 1), has_aux=True
+    )(params, jnp.asarray(x))
+    (s_s, (y_s, ns_s)), g_s = jax.value_and_grad(
+        lambda p, v: run(shifted, p, v), argnums=(0, 1), has_aux=True
+    )(params, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_e), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(ns_s[k]), np.asarray(ns_e[k]), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_e)):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1e-6)
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) / scale < 1e-4
+
+    # eval mode: byte-identical to nn.BatchNorm (same running-stat formula)
+    ek = dict(kw, use_running_average=True)
+    y_ev_e = nn.BatchNorm(use_fast_variance=False, **ek).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)
+    )
+    y_ev_s = ShiftedBatchNorm(**ek).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)
+    )
+    np.testing.assert_array_equal(np.asarray(y_ev_s), np.asarray(y_ev_e))
+
+
+def test_bn_variance_modes_share_param_tree(rng):
+    """All three bn_variance modes init the identical variable tree, so
+    checkpoints interchange."""
+    cfg = tiny_cfg()
+    batch = make_batch(rng, cfg)
+    trees = []
+    for mode in ("exact", "fast", "shifted"):
+        model = ZSGNet(cfg=cfg.replace(bn_variance=mode), vocab_size=50)
+        v = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0), batch, train=True)
+        )
+        trees.append(jax.tree.structure(v))
+    assert trees[0] == trees[1] == trees[2]

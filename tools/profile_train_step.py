@@ -34,8 +34,13 @@ REMAT = "--remat" in sys.argv
 CANVAS = "--canvas" in sys.argv
 NOTRACE = "--notrace" in sys.argv
 
+BN_MODE = "shifted" if "--bnshift" in sys.argv else (
+    "fast" if "--bnfast" in sys.argv else "exact"
+)
+
 cfg = get_default_cfg().replace(
-    bs=B, do_dist=False, remat_backbone=REMAT, head_canvas=CANVAS
+    bs=B, do_dist=False, remat_backbone=REMAT, head_canvas=CANVAS,
+    bn_variance=BN_MODE,
 )
 model = get_default_net(cfg, vocab_size=10000)
 rng = np.random.default_rng(0)

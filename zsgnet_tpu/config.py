@@ -116,14 +116,23 @@ class Config:
     # Mirror the JSONL epoch rows to TensorBoard scalars (tensorboardX,
     # rank-0 only; silently off if the package is absent).
     use_tensorboard: bool = False
-    # BatchNorm batch variance as E[(x-μ)²] (torch semantics) instead of
-    # flax's default E[x²]-E[x]². The fast form's cancellation puts 4-18%
-    # relative error into training-mode BN GRADIENTS through ResNet-50
-    # (see tests/test_convert_full.py::test_training_trajectory_parity);
-    # exact costs ~9% train-step time (933 vs 991 qps @B=128, v5e).
-    # Keep True for reference-parity training; False trades parity for
-    # speed. Inference is unaffected (running stats).
-    bn_exact_variance: bool = True
+    # BatchNorm batch-variance formulation (training mode only; inference
+    # uses running stats in all modes):
+    #   "exact":   E[(x-μ)²], torch semantics — two passes, ~9% train-step
+    #              cost (933 vs 991 qps @B=128, v5e);
+    #   "fast":    flax default E[x²]-E[x]² — one pass, but cancellation
+    #              puts 4-18% relative error into training-mode BN
+    #              GRADIENTS through ResNet-50 (breaks trajectory parity,
+    #              tests/test_convert_full.py);
+    #   "shifted": one-pass shifted moments E[(x-c)²]-(E[x]-c)² with
+    #              c = stop_gradient(running mean) — algebraically equal
+    #              to exact, well-conditioned when c≈μ (always true when
+    #              training from converted pretrained stats; from-scratch
+    #              runs recover within ~20 steps as the EMA warms). See
+    #              models/norm.py. Measured 1016 qps @B=128 — faster than
+    #              even "fast" — the recommended production setting when
+    #              training from pretrained backbones.
+    bn_variance: str = "exact"
     # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
     # Set automatically by the Learner when training over a mesh; makes
     # sharded training bit-equal to the same global batch on one chip.

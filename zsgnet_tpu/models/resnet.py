@@ -29,6 +29,18 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+def make_batch_norm(variance_mode: str, **kw) -> nn.Module:
+    """BatchNorm factory over cfg.bn_variance (param tree identical in
+    all modes — checkpoints interchange)."""
+    if variance_mode == "shifted":
+        from zsgnet_tpu.models.norm import ShiftedBatchNorm
+
+        return ShiftedBatchNorm(**kw)
+    if variance_mode not in ("exact", "fast"):
+        raise ValueError(f"unknown bn_variance: {variance_mode!r}")
+    return nn.BatchNorm(use_fast_variance=(variance_mode == "fast"), **kw)
+
+
 class Bottleneck(nn.Module):
     """torchvision-style bottleneck v1.5: 1×1 → 3×3(stride) → 1×1 ×4."""
 
@@ -36,23 +48,24 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     bn_axis: str | None = None  # mesh axis for sync-BN under shard_map
-    bn_exact_variance: bool = True  # torch-parity grads; see Config
+    bn_variance: str = "exact"  # "exact"|"fast"|"shifted"; see Config
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        # "exact" = torch's E[(x-μ)²], NOT flax's default E[x²]-E[x]²: the
+        # fast form's cancellation costs ~4-18% relative error in
+        # training-mode BN *gradients* through a ResNet-50 (fp32!),
+        # breaking trajectory parity vs the reference
+        # (tests/test_convert_full.py::test_training_trajectory_parity).
+        # "shifted" keeps those grads at one-pass cost (models/norm.py).
+        norm = lambda name: make_batch_norm(  # noqa: E731
+            self.bn_variance,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.bn_axis,
-            # E[(x-μ)²] like torch, NOT flax's default E[x²]-E[x]²: the
-            # fast form's cancellation costs ~4-18% relative error in
-            # training-mode BN *gradients* through a ResNet-50 (fp32!),
-            # breaking trajectory parity vs the reference
-            # (tests/test_convert_full.py::test_training_trajectory_parity).
-            use_fast_variance=not self.bn_exact_variance,
             name=name,
         )
         conv = lambda f, k, s, name, pad: nn.Conv(  # noqa: E731
@@ -83,7 +96,7 @@ class ResNet50(nn.Module):
     remat: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     bn_axis: str | None = None
-    bn_exact_variance: bool = True
+    bn_variance: str = "exact"
     spd_stem: bool = False  # space-to-depth stem (exact reparam, see below)
 
     @nn.compact
@@ -121,10 +134,10 @@ class ResNet50(nn.Module):
                 64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
             )(x)
-        x = nn.BatchNorm(
+        x = make_batch_norm(
+            self.bn_variance,  # see Bottleneck
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, param_dtype=jnp.float32, axis_name=self.bn_axis,
-            use_fast_variance=not self.bn_exact_variance,  # see Bottleneck
             name="bn1",
         )(x)
         x = nn.relu(x)
@@ -142,7 +155,7 @@ class ResNet50(nn.Module):
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
                     bn_axis=self.bn_axis,
-                    bn_exact_variance=self.bn_exact_variance,
+                    bn_variance=self.bn_variance,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
             if stage_i >= 1:  # C3, C4, C5

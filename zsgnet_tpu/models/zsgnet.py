@@ -195,7 +195,7 @@ class ZSGNet(nn.Module):
             c_feats = ResNet50(
                 dtype=dtype, remat=cfg.remat_backbone,
                 bn_axis=cfg.bn_sync_axis or None, spd_stem=cfg.spd_stem,
-                bn_exact_variance=cfg.bn_exact_variance,
+                bn_variance=cfg.bn_variance,
                 name="backbone",
             )(inp["img"], train)
             feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
