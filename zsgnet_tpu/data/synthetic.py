@@ -52,6 +52,7 @@ def generate(
     n_test: int = 16,
     img_size: int = 128,
     seed: int = 0,
+    fmt: str = "png",
 ) -> Path:
     """Write the dataset under <root>/synthetic/; returns that path."""
     from PIL import Image
@@ -84,8 +85,11 @@ def generate(
             target = boxes[int(rng.integers(0, n_obj))]
             cname, shape, (y1, x1, y2, x2) = target
             query = f"the {cname} {shape}"
-            fname = f"{split}_{idx:05d}.png"
-            Image.fromarray(img).save(img_dir / fname)
+            fname = f"{split}_{idx:05d}.{fmt}"
+            # JPEG exercises the native libjpeg decode path (real
+            # ReferIt/Flickr30k images are JPEG); quality 90 keeps the
+            # shapes' colors unambiguous.
+            Image.fromarray(img).save(img_dir / fname, quality=90)
             rows.append(
                 {
                     "img_id": fname,
