@@ -337,3 +337,66 @@ def test_training_trajectory_parity(rng, bn_variance):
         )
     assert jax_losses[-1] < 0.7 * jax_losses[0]  # both actually learned
     assert torch_losses[-1] < 0.7 * torch_losses[0]
+
+
+@pytest.mark.slow
+def test_convert_cli_end_to_end(rng, tmp_path):
+    """`python -m zsgnet_tpu.convert ref.pth out/` — the migration CLI:
+    auto-detects the reference layout from a DDP-wrapped trainer-format
+    .pth, writes an Orbax checkpoint, and the restored model matches the
+    torch forward."""
+    import jax
+
+    from zsgnet_tpu.convert.__main__ import detect_layout, main
+    from zsgnet_tpu.train.checkpoint import CheckpointManager
+
+    VOCAB, EMB, HID, FPN_CH, HEAD_CH, A = 30, 32, 32, 256, 64, 9
+    torch.manual_seed(1)
+    tm = TorchZSGNet(VOCAB, EMB, HID, FPN_CH, HEAD_CH, A).eval()
+    _randomize_bn(tm)
+    # Reference trainer save format + DDP module. wrapper (SURVEY §5).
+    sd = {f"module.{k}": v for k, v in tm.state_dict().items()}
+    pth = tmp_path / "ref.pth"
+    torch.save({"model_state_dict": sd, "epoch": 3, "best_acc": 0.5}, pth)
+
+    layout = detect_layout(tm.state_dict())
+    assert layout["backbone_prefix"] == "backbone.encoder."
+    assert layout["fpn_prefix"] == "backbone.fpn."
+    assert layout["lstm_prefix"] == "lstm."
+    assert layout["embed_key"] == "embedding.weight"
+    assert layout["num_anchors"] == A
+    assert layout["head_conv_prefixes"][-1] == "head.out"
+
+    out_dir = tmp_path / "ckpt"
+    report = main([str(pth), str(out_dir), "--resize_img=[96,96]",
+                   "--lstm_dim=32", "--head_ch=64"])
+    assert report["vocab_size"] == VOCAB
+    assert report["leaves_converted"] > 0.9 * report["leaves_total"]
+
+    restored = CheckpointManager(out_dir).restore()
+    cfg = Config(
+        resize_img=(96, 96), emb_dim=EMB, lstm_dim=HID, fpn_ch=FPN_CH,
+        head_ch=HEAD_CH, max_qlen=8, compute_dtype="float32", use_pallas=False,
+    )
+    model = ZSGNet(cfg=cfg, vocab_size=VOCAB)
+    B, T = 2, 8
+    img = rng.normal(size=(B, 96, 96, 3)).astype(np.float32)
+    qvec = rng.integers(1, VOCAB, size=(B, T)).astype(np.int32)
+    qlens = np.array([5, T], dtype=np.int32)
+    out = model.apply(
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        {"img": jnp.asarray(img), "qvec": jnp.asarray(qvec), "qlens": jnp.asarray(qlens)},
+        train=False,
+    )
+    with torch.no_grad():
+        want_att, want_bbx = tm(
+            torch.tensor(img.transpose(0, 3, 1, 2)),
+            torch.tensor(qvec.astype(np.int64)),
+            torch.tensor(qlens),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["att_out"]), want_att.numpy(), atol=5e-4, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["bbx_out"]), want_bbx.numpy(), atol=5e-4, rtol=2e-3
+    )
