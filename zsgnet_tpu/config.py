@@ -133,6 +133,14 @@ class Config:
     #              even "fast" — the recommended production setting when
     #              training from pretrained backbones.
     bn_variance: str = "exact"
+    # int8 serving quantization (inference-only; training untouched):
+    #   "off" — bf16 serving (default); "calib" — fp forward that records
+    #   per-conv activation |max| into the 'quant' collection; "int8" —
+    #   per-tensor-activation × per-out-channel-weight int8 convs with
+    #   int32 accumulation (backbone+FPN+head). v5e int8 convs measure
+    #   1.45× bf16 (BASELINE.md). Calibrate before serving int8 —
+    #   Grounder(quantize=True) does both. See models/quant.py.
+    quant_mode: str = "off"
     # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
     # Set automatically by the Learner when training over a mesh; makes
     # sharded training bit-equal to the same global batch on one chip.

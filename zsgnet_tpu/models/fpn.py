@@ -39,12 +39,15 @@ class FPN(nn.Module):
 
     out_ch: int = 256
     dtype: Any = jnp.bfloat16
+    quant_mode: str = "off"  # int8 serving; see models/quant.py
 
     @nn.compact
     def __call__(self, feats: Sequence[Array]) -> tuple[Array, ...]:
+        from zsgnet_tpu.models.quant import conv_for
+
         c3, c4, c5 = feats
-        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s),
+        conv = lambda f, k, s, name: conv_for(  # noqa: E731
+            self.quant_mode, features=f, kernel_size=(k, k), strides=(s, s),
             padding="VALID" if k == 1 else [(1, 1), (1, 1)],
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )

@@ -1,0 +1,142 @@
+"""Post-training int8 quantization for the serving path.
+
+v5e int8 MXU throughput is measurably higher than bf16 (179 vs
+123 TOP/s on the head-conv shape — BASELINE.md), and grounding inference
+is 94 % convolutions, so an int8 serving mode is real headroom past the
+bf16 headline. Design:
+
+  * :class:`QuantizableConv` is a drop-in for ``nn.Conv`` with the SAME
+    parameter names/shapes (fp32 master weights) — checkpoints are
+    interchangeable between quantized and bf16 serving, and training is
+    untouched (quantization is inference-only);
+  * weights quantize per-output-channel symmetric int8 IN-GRAPH from the
+    fp32 master (two cheap elementwise passes over ~1 MB, fused by XLA —
+    no separate quantized checkpoint format to maintain);
+  * activations quantize per-tensor symmetric with scales CALIBRATED by
+    running representative batches in ``mode="calib"`` (running max of
+    |x|, stored in the ``quant`` flax collection) — then served with
+    ``mode="int8"``;
+  * accumulation in int32, dequantize into the conv epilogue
+    (scale·bias·ReLU fuse); BatchNorm (running stats at inference),
+    residual adds, the BiLSTM, and the language/grid fusion terms stay
+    bf16/fp32.
+
+``Grounder`` exposes this as ``quantize=True`` (calibrates on the given
+images at load time). Accuracy impact is task-dependent — measure on
+your val split; the synthetic-dataset drive shows the decode choosing
+the same box as bf16 on the overwhelming majority of pairs
+(tests/test_quant.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _quantize_sym(x: Array, scale: Array) -> Array:
+    """Symmetric int8 quantization: round(x/scale) clipped to ±127."""
+    q = jnp.round(x / scale)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+class QuantizableConv(nn.Module):
+    """``nn.Conv``-compatible conv with optional int8 inference.
+
+    mode:
+      * ``"off"``   — exactly ``nn.Conv`` semantics (compute in ``dtype``);
+      * ``"calib"`` — fp path, plus records ``max(|x|)`` into the
+        ``quant`` collection (mutable during calibration);
+      * ``"int8"``  — per-tensor int8 activations × per-out-channel int8
+        weights → int32 accumulate → fp epilogue.
+
+    Param tree matches ``nn.Conv`` (``kernel``, ``bias``); the only extra
+    state is ``quant/act_absmax`` (a scalar), absent until calibration.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    mode: str = "off"
+    bias_init: Any = nn.initializers.zeros_init()
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kinit = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel",
+            kinit,
+            (*self.kernel_size, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        pad = self.padding
+        if isinstance(pad, (list, tuple)) and pad and isinstance(pad[0], (list, tuple)):
+            pad = [tuple(p) for p in pad]
+
+        if self.mode in ("off", "calib"):
+            if self.mode == "calib":
+                absmax = self.variable(
+                    "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if not self.is_initializing():
+                    absmax.value = jnp.maximum(
+                        absmax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                self.strides, pad, dimension_numbers=dn,
+                preferred_element_type=self.dtype,
+            )
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+
+        assert self.mode == "int8", f"unknown quant mode {self.mode!r}"
+        absmax = self.variable(
+            "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        # Guard: an uncalibrated (zero) absmax would zero the activations —
+        # fall back to a scale of 1 so the failure is loud in accuracy
+        # metrics, not silent NaNs.
+        act_scale = jnp.maximum(absmax.value, 1e-6) / 127.0
+        k32 = kernel.astype(jnp.float32)
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(k32), axis=(0, 1, 2), keepdims=True), 1e-12
+        ) / 127.0  # (1,1,1,O) per-out-channel
+        x_q = _quantize_sym(x.astype(jnp.float32), act_scale)
+        k_q = _quantize_sym(k32, w_scale)
+        y32 = jax.lax.conv_general_dilated(
+            x_q, k_q, self.strides, pad, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (act_scale * w_scale[0, 0, 0])
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def conv_for(mode: str, **kw) -> nn.Module:
+    """Factory: QuantizableConv when quantization is in play, plain
+    nn.Conv otherwise (identical param trees either way — nn.Conv is
+    kept for the training path so its autodiff is untouched)."""
+    if kw.get("kernel_init") is None:
+        kw.pop("kernel_init", None)
+    if mode == "off":
+        return nn.Conv(**kw)
+    return QuantizableConv(mode=mode, **kw)

@@ -49,6 +49,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_axis: str | None = None  # mesh axis for sync-BN under shard_map
     bn_variance: str = "exact"  # "exact"|"fast"|"shifted"; see Config
+    quant_mode: str = "off"     # int8 serving; see models/quant.py
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -68,9 +69,12 @@ class Bottleneck(nn.Module):
             axis_name=self.bn_axis,
             name=name,
         )
-        conv = lambda f, k, s, name, pad: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(s, s), padding=pad, use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        from zsgnet_tpu.models.quant import conv_for
+
+        conv = lambda f, k, s, name, pad: conv_for(  # noqa: E731
+            self.quant_mode, features=f, kernel_size=(k, k), strides=(s, s),
+            padding=pad, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
         )
         residual = x
         y = conv(self.features, 1, 1, "conv1", "VALID")(x)
@@ -97,6 +101,7 @@ class ResNet50(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     bn_axis: str | None = None
     bn_variance: str = "exact"
+    quant_mode: str = "off"
     spd_stem: bool = False  # space-to-depth stem (exact reparam, see below)
 
     @nn.compact
@@ -130,8 +135,11 @@ class ResNet50(nn.Module):
                 preferred_element_type=self.dtype,
             )
         else:
-            x = nn.Conv(
-                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+            from zsgnet_tpu.models.quant import conv_for
+
+            x = conv_for(
+                self.quant_mode, features=64, kernel_size=(7, 7), strides=(2, 2),
+                padding=[(3, 3), (3, 3)], use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
             )(x)
         x = make_batch_norm(
@@ -156,6 +164,7 @@ class ResNet50(nn.Module):
                     features=width, stride=stride, dtype=self.dtype,
                     bn_axis=self.bn_axis,
                     bn_variance=self.bn_variance,
+                    quant_mode=self.quant_mode,
                     name=f"layer{stage_i + 1}_{block_i}",
                 )(x, train)
             if stage_i >= 1:  # C3, C4, C5

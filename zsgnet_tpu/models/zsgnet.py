@@ -76,6 +76,7 @@ class PredictionHead(nn.Module):
     mid_ch: int = 256
     depth: int = 4
     dtype: Any = jnp.bfloat16
+    quant_mode: str = "off"  # int8 serving for conv1..out; see models/quant.py
 
     @nn.compact
     def __call__(
@@ -148,8 +149,11 @@ class PredictionHead(nn.Module):
         rezero = (lambda v: v) if occ is None else (lambda v: v * occ)  # noqa: E731
         x = rezero(nn.relu(y + g + lang_term + bias0))
 
-        conv = lambda f, name, binit: nn.Conv(  # noqa: E731
-            f, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+        from zsgnet_tpu.models.quant import conv_for
+
+        conv = lambda f, name, binit: conv_for(  # noqa: E731
+            self.quant_mode, features=f, kernel_size=(3, 3),
+            padding=[(1, 1), (1, 1)], dtype=self.dtype,
             param_dtype=jnp.float32, name=name, bias_init=binit,
         )
         for i in range(1, self.depth):
@@ -195,10 +199,13 @@ class ZSGNet(nn.Module):
             c_feats = ResNet50(
                 dtype=dtype, remat=cfg.remat_backbone,
                 bn_axis=cfg.bn_sync_axis or None, spd_stem=cfg.spd_stem,
-                bn_variance=cfg.bn_variance,
+                bn_variance=cfg.bn_variance, quant_mode=cfg.quant_mode,
                 name="backbone",
             )(inp["img"], train)
-            feats = FPN(out_ch=cfg.fpn_ch, dtype=dtype, name="fpn")(c_feats)
+            feats = FPN(
+                out_ch=cfg.fpn_ch, dtype=dtype, quant_mode=cfg.quant_mode,
+                name="fpn",
+            )(c_feats)
         elif cfg.mdl_to_use == "ssd_vgg":
             feats = SSDVGG16(
                 out_ch=cfg.fpn_ch, uniform_proj=cfg.ssd_uniform_proj,
@@ -223,7 +230,7 @@ class ZSGNet(nn.Module):
         # (512/1024/…), whose first convs differ in shape → per-scale heads.
         head_kw = dict(
             num_anchors=cfg.num_anchors, lang_ch=cfg.lang_dim,
-            mid_ch=cfg.head_ch, dtype=dtype,
+            mid_ch=cfg.head_ch, dtype=dtype, quant_mode=cfg.quant_mode,
         )
         same_ch = len({f.shape[-1] for f in feats}) == 1
         if cfg.use_same_atb and same_ch:

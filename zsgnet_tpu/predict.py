@@ -32,18 +32,32 @@ from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 class Grounder:
     """Load-once, call-many grounding predictor."""
 
-    def __init__(self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8):
+    def __init__(
+        self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8,
+        quantize: bool = False,
+    ):
         # Serving default: the canvas-packed head (models/canvas.py) is
         # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
         # v5e; BASELINE.md), while the per-level head wins at throughput
         # batches. Exact reparam, identical params — pick by batch size.
         if batch_size <= 16 and cfg.use_same_atb:
             cfg = cfg.replace(head_canvas=True)
+        # int8 serving (models/quant.py): calibrates activation scales on
+        # the FIRST ground() batch (or an explicit .calibrate() call),
+        # then serves int8 convs. Same checkpoint either way.
+        self.quantize = quantize
+        if quantize:
+            cfg = cfg.replace(quant_mode="int8")
         self.cfg = cfg
         self.vocab = vocab
         self.variables = variables
         self.bs = batch_size
         self.model = get_default_net(cfg, vocab_size=len(vocab))
+        self._calib_model = (
+            get_default_net(cfg.replace(quant_mode="calib"), vocab_size=len(vocab))
+            if quantize
+            else None
+        )
         anchor_comps = anchor_components_for(cfg)
         model = self.model
 
@@ -59,10 +73,20 @@ class Grounder:
 
         self._infer = _infer
 
+    def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
+        """Record per-conv activation scales from one representative batch
+        (running |max| into the 'quant' collection)."""
+        _, qvars = self._calib_model.apply(
+            self.variables,
+            {"img": jnp.asarray(img), "qvec": jnp.asarray(qvec), "qlens": jnp.asarray(qlens)},
+            train=False, mutable=["quant"],
+        )
+        self.variables = {**self.variables, "quant": qvars["quant"]}
+
     @classmethod
     def from_checkpoint(
         cls, ckpt_dir: str | Path, vocab_path: str | Path, cfg: Config | None = None,
-        batch_size: int = 8,
+        batch_size: int = 8, quantize: bool = False,
     ) -> "Grounder":
         from zsgnet_tpu.train.checkpoint import CheckpointManager
 
@@ -72,7 +96,7 @@ class Grounder:
         variables = {"params": restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
-        return cls(cfg, vocab, variables, batch_size)
+        return cls(cfg, vocab, variables, batch_size, quantize=quantize)
 
     def ground(
         self, images: list[str | Path | np.ndarray], queries: list[str]
@@ -107,6 +131,8 @@ class Grounder:
             for j, q in enumerate(chunk_q):
                 ids, ln = self.vocab.encode(q, self.cfg.max_qlen)
                 qvec[j], qlens[j] = ids, ln
+            if self.quantize and "quant" not in self.variables:
+                self.calibrate(imgs, qvec, qlens)
             boxes, scores = self._infer(
                 self.variables, jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
