@@ -120,3 +120,20 @@ def test_grounder_quantize_flow(rng, tmp_path):
     qv = g.variables["quant"]
     g.ground(imgs, ["the red box", "a green ellipse"])
     assert g.variables["quant"] is qv
+
+
+def test_ssd_int8_mode(rng):
+    """SSD backbone quantizes too (incl. the dilated conv6)."""
+    cfg = tiny_cfg(mdl_to_use="ssd_vgg", resize_img=(96, 96))
+    batch = make_batch(rng, cfg, b=2)
+    model = ZSGNet(cfg=cfg, vocab_size=50)
+    v = model.init(jax.random.PRNGKey(0), batch)
+    out_fp = model.apply(v, batch)
+    calib = ZSGNet(cfg=cfg.replace(quant_mode="calib"), vocab_size=50)
+    _, qvars = calib.apply(v, batch, mutable=["quant"])
+    mi = ZSGNet(cfg=cfg.replace(quant_mode="int8"), vocab_size=50)
+    out_i8 = mi.apply({**v, "quant": qvars["quant"]}, batch)
+    corr = np.corrcoef(
+        np.asarray(out_fp["att_out"]).ravel(), np.asarray(out_i8["att_out"]).ravel()
+    )[0, 1]
+    assert corr > 0.99

@@ -30,7 +30,7 @@ the same box as bf16 on the overwhelming majority of pairs
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -63,6 +63,7 @@ class QuantizableConv(nn.Module):
     kernel_size: tuple[int, int] = (3, 3)
     strides: tuple[int, int] = (1, 1)
     padding: Any = "SAME"
+    kernel_dilation: tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -100,8 +101,8 @@ class QuantizableConv(nn.Module):
                     )
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                self.strides, pad, dimension_numbers=dn,
-                preferred_element_type=self.dtype,
+                self.strides, pad, rhs_dilation=self.kernel_dilation,
+                dimension_numbers=dn, preferred_element_type=self.dtype,
             )
             if bias is not None:
                 y = y + bias.astype(self.dtype)
@@ -122,8 +123,8 @@ class QuantizableConv(nn.Module):
         x_q = _quantize_sym(x.astype(jnp.float32), act_scale)
         k_q = _quantize_sym(k32, w_scale)
         y32 = jax.lax.conv_general_dilated(
-            x_q, k_q, self.strides, pad, dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
+            x_q, k_q, self.strides, pad, rhs_dilation=self.kernel_dilation,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
         )
         y = y32.astype(jnp.float32) * (act_scale * w_scale[0, 0, 0])
         if bias is not None:

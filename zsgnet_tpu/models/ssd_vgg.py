@@ -89,12 +89,16 @@ class SSDVGG16(nn.Module):
     out_ch: int = 256
     uniform_proj: bool = False
     dtype: Any = jnp.bfloat16
+    quant_mode: str = "off"  # int8 serving; see models/quant.py
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> tuple[Array, ...]:
         del train  # no BN in VGG-SSD
-        conv = lambda f, k, name, pad, dil=1, stride=1: nn.Conv(  # noqa: E731
-            f, (k, k), strides=(stride, stride),
+        from zsgnet_tpu.models.quant import conv_for
+
+        conv = lambda f, k, name, pad, dil=1, stride=1: conv_for(  # noqa: E731
+            self.quant_mode, features=f, kernel_size=(k, k),
+            strides=(stride, stride),
             padding=[(pad, pad), (pad, pad)] if pad else "VALID",
             kernel_dilation=(dil, dil),
             dtype=self.dtype, param_dtype=jnp.float32, name=name,

@@ -209,7 +209,7 @@ class ZSGNet(nn.Module):
         elif cfg.mdl_to_use == "ssd_vgg":
             feats = SSDVGG16(
                 out_ch=cfg.fpn_ch, uniform_proj=cfg.ssd_uniform_proj,
-                dtype=dtype, name="backbone",
+                dtype=dtype, quant_mode=cfg.quant_mode, name="backbone",
             )(inp["img"], train)
         else:
             raise ValueError(f"unknown mdl_to_use: {cfg.mdl_to_use}")
