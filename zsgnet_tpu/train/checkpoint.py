@@ -4,8 +4,13 @@ Capability parity with the reference's ``save_model_dict`` /
 ``load_model_dict`` (SURVEY.md §5 "Checkpoint / resume"): persists
 {params, batch_stats, opt_state, step, epoch, best_metric}, supports
 strict and partial (warm-start) restore, best-by-val-metric policy is the
-Learner's job. Orbax gives atomic async-capable writes; we use the
-synchronous API (checkpoints are ~150 MB, seconds).
+Learner's job.
+
+Saves are ASYNC on the host side: ``save()`` returns once the arrays are
+fetched device→host (orbax does this synchronously — the part donation
+safety requires), while serialization + atomic directory commit proceed
+on orbax's background thread, overlapped with the next training epoch.
+``restore``/``latest_step`` barrier on in-flight saves first.
 """
 
 from __future__ import annotations
@@ -30,12 +35,17 @@ class CheckpointManager:
 
     def save(self, step: int, payload: dict[str, Any]) -> None:
         self.mngr.save(step, args=ocp.args.StandardSave(payload))
+
+    def wait(self) -> None:
+        """Barrier for in-flight async saves (call before process exit)."""
         self.mngr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self.mngr.wait_until_finished()
         return self.mngr.latest_step()
 
     def restore(self, step: int | None = None, template: dict[str, Any] | None = None) -> dict[str, Any]:
+        self.mngr.wait_until_finished()
         step = step if step is not None else self.mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")

@@ -290,6 +290,10 @@ class Learner:
                     if is_main_process():
                         print(f"plateau: lr_scale → {new_scale:g}")
             self.epoch += 1
+        # Saves are host-async (train/checkpoint.py) — make the last one
+        # durable before fit() returns.
+        self.ckpt.wait()
+        self.ckpt_best.wait()
 
     # ------------------------------------------------------------------
     def _run_eval(self, dl, dump: str | None = None) -> dict[str, float]:
