@@ -111,10 +111,47 @@ class PredictionHead(nn.Module):
         k_grid = kernel[:, :, self.vis_ch + self.lang_ch :]
 
         dn = ("NHWC", "HWIO", "NHWC")
-        y = jax.lax.conv_general_dilated(
-            vis.astype(self.dtype), k_vis, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=dn, preferred_element_type=self.dtype,
-        )
+        if self.quant_mode in ("calib", "int8"):
+            # int8 serving for the decomposed conv0's vis term (the only
+            # head conv the QuantizableConv wrapper can't cover, since the
+            # kernel is a slice of the shared concat-ordered parameter).
+            # Same recipe as models/quant.py: per-tensor activation scale
+            # (calibrated across all pyramid levels — the module is shared,
+            # so the variable is too), per-out-channel weight scale.
+            from zsgnet_tpu.models.quant import _quantize_sym
+
+            absmax = self.variable(
+                "quant", "vis_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.quant_mode == "calib":
+                if not self.is_initializing():
+                    absmax.value = jnp.maximum(
+                        absmax.value, jnp.max(jnp.abs(vis.astype(jnp.float32)))
+                    )
+                y = jax.lax.conv_general_dilated(
+                    vis.astype(self.dtype), k_vis, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn, preferred_element_type=self.dtype,
+                )
+            else:
+                act_scale = jnp.maximum(absmax.value, 1e-6) / 127.0
+                kv32 = k_vis.astype(jnp.float32)
+                w_scale = jnp.maximum(
+                    jnp.max(jnp.abs(kv32), axis=(0, 1, 2), keepdims=True), 1e-12
+                ) / 127.0
+                y32 = jax.lax.conv_general_dilated(
+                    _quantize_sym(vis.astype(jnp.float32), act_scale),
+                    _quantize_sym(kv32, w_scale),
+                    (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn, preferred_element_type=jnp.int32,
+                )
+                y = (y32.astype(jnp.float32) * (act_scale * w_scale[0, 0, 0])).astype(
+                    self.dtype
+                )
+        else:
+            y = jax.lax.conv_general_dilated(
+                vis.astype(self.dtype), k_vis, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=dn, preferred_element_type=self.dtype,
+            )
         # Grid term: batch-independent (grid is a compile-time constant).
         g = jax.lax.conv_general_dilated(
             grid.astype(self.dtype)[None], k_grid, (1, 1), [(1, 1), (1, 1)],
