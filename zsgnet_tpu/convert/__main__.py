@@ -186,6 +186,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
 
     mgr = CheckpointManager(out_dir)
     mgr.save(0, {"params": params, "batch_stats": stats, "best_metric": -1.0})
+    mgr.wait()  # saves are host-async; make durable before the CLI exits
     report = {
         "leaves_total": len(all_flat),
         "leaves_converted": converted_n,

@@ -232,6 +232,7 @@ class Learner:
         epochs = epochs or cfg.epochs
 
         smooth = SmoothenValue()
+        self._in_fit = True
         for _ in range(epochs):
             self.data.train_dl.set_epoch(self.epoch)
             t0 = time.time()
@@ -292,6 +293,7 @@ class Learner:
             self.epoch += 1
         # Saves are host-async (train/checkpoint.py) — make the last one
         # durable before fit() returns.
+        self._in_fit = False
         self.ckpt.wait()
         self.ckpt_best.wait()
 
@@ -357,7 +359,14 @@ class Learner:
         return first, last
 
     # ------------------------------------------------------------------
-    def save_model_dict(self, best: bool = False) -> None:
+    def save_model_dict(self, best: bool = False, wait: bool | None = None) -> None:
+        """Checkpoint the current state.
+
+        Saves are host-async (train/checkpoint.py). Inside ``fit`` the
+        epoch loop overlaps the commit and barriers once at the end;
+        DIRECT calls default to synchronous (``wait=None`` → wait unless
+        called from fit) so a save-then-exit or a save read by another
+        CheckpointManager instance can never race the background write."""
         if not is_main_process():
             return
         payload = {
@@ -373,6 +382,11 @@ class Learner:
         if best:
             self.ckpt_best.save(int(self.state.step), payload)
             (self.model_dir / "best_step.txt").write_text(str(int(self.state.step)))
+        if wait is None:
+            wait = not getattr(self, "_in_fit", False)
+        if wait:
+            self.ckpt.wait()
+            self.ckpt_best.wait()
 
     def load_model_dict(
         self,
