@@ -292,3 +292,17 @@ def test_tensorboard_scalar_export(synth_root, tmp_path):
     tb_dir = Path(cfg.tmp_path) / "logs" / "tb" / "t_tb"
     events = list(tb_dir.glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+
+def test_device_prefetch_order_and_pairing(synth_root, tmp_path):
+    """_device_prefetch preserves batch order and pairs each sharded view
+    with its own host batch (eval relies on case/idxs/valid alignment)."""
+    cfg = tiny_cfg(synth_root, tmp_path, do_dist=False)
+    data = get_data(cfg)
+    learn = Learner("t_prefetch", data, cfg)
+    host = list(data.valid_dl)
+    pairs = list(learn._device_prefetch(iter(host)))
+    assert len(pairs) == len(host)
+    for (sharded, hb), want in zip(pairs, host):
+        assert hb is want
+        np.testing.assert_array_equal(np.asarray(sharded["qvec"]), want["qvec"])
