@@ -44,9 +44,11 @@ class Grounder:
             cfg = cfg.replace(head_canvas=True)
         # int8 serving (models/quant.py): calibrates activation scales on
         # the FIRST ground() batch (or an explicit .calibrate() call),
-        # then serves int8 convs. Same checkpoint either way.
-        self.quantize = quantize
-        if quantize:
+        # then serves int8 convs. Same checkpoint either way. A cfg that
+        # already says quant_mode="int8" implies quantize (serving
+        # uncalibrated int8 would silently mis-scale every conv).
+        self.quantize = quantize or cfg.quant_mode == "int8"
+        if self.quantize:
             cfg = cfg.replace(quant_mode="int8")
         self.cfg = cfg
         self.vocab = vocab
@@ -163,8 +165,11 @@ def main() -> None:
         raise SystemExit(__doc__)
     ckpt_dir, image, query = args
     vocab_path = overrides.pop("vocab", str(Path(ckpt_dir) / "vocab.json"))
+    quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     cfg = get_default_cfg().replace(**overrides) if overrides else get_default_cfg()
-    g = Grounder.from_checkpoint(ckpt_dir, vocab_path, cfg, batch_size=1)
+    g = Grounder.from_checkpoint(
+        ckpt_dir, vocab_path, cfg, batch_size=1, quantize=quantize
+    )
     (res,) = g.ground([image], [query])
     x1, y1, x2, y2 = res["box_xyxy"]
     print(f"{x1:.1f} {y1:.1f} {x2:.1f} {y2:.1f}  score={res['score']:.4f}")
