@@ -21,11 +21,14 @@ bf16 headline. Design:
     residual adds, the BiLSTM, and the language/grid fusion terms stay
     bf16/fp32.
 
-``Grounder`` exposes this as ``quantize=True`` (calibrates on the given
-images at load time). Accuracy impact is task-dependent — measure on
-your val split; the synthetic-dataset drive shows the decode choosing
-the same box as bf16 on the overwhelming majority of pairs
-(tests/test_quant.py).
+``Grounder`` exposes this as ``quantize=True`` (calibrates on the first
+batch). **Accuracy, measured on a trained model** (10-epoch synthetic
+checkpoint): backbone+FPN int8 matches bf16 within noise (val Acc 0.305
+vs 0.301); quantizing the SHARED HEAD collapses it to ~0.00 — one
+activation scale cannot serve five pyramid levels — so
+``cfg.quant_head`` defaults to False. Calibration supports percentile
+clipping (``"calib@0.999"``) for outlier-heavy activations; pure-max is
+exact on well-behaved ranges.
 """
 
 from __future__ import annotations
@@ -64,6 +67,7 @@ class QuantizableConv(nn.Module):
     strides: tuple[int, int] = (1, 1)
     padding: Any = "SAME"
     kernel_dilation: tuple[int, int] = (1, 1)
+    percentile: float = 1.0  # calib: clip activation scale at this |x| quantile
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -96,9 +100,19 @@ class QuantizableConv(nn.Module):
                     "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
                 )
                 if not self.is_initializing():
-                    absmax.value = jnp.maximum(
-                        absmax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    a = jnp.abs(x.astype(jnp.float32))
+                    # Trained activations have heavy outlier tails; a pure
+                    # max blows up the scale and flattens the bulk of the
+                    # distribution to ~0 codes (measured: Acc 0.30→0.02 on
+                    # the synthetic-trained model). A high quantile keeps
+                    # resolution where the mass is; clipped outliers
+                    # saturate at ±127.
+                    stat = (
+                        jnp.quantile(a.reshape(-1), self.percentile)
+                        if self.percentile < 1.0
+                        else jnp.max(a)
                     )
+                    absmax.value = jnp.maximum(absmax.value, stat)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 self.strides, pad, rhs_dilation=self.kernel_dilation,
@@ -132,12 +146,24 @@ class QuantizableConv(nn.Module):
         return y.astype(self.dtype)
 
 
+def parse_quant_mode(mode: str) -> tuple[str, float]:
+    """"calib@0.999" → ("calib", 0.999); plain modes → (mode, 1.0).
+
+    The percentile rides inside the mode string so it threads through
+    every module's existing ``quant_mode`` field without new plumbing."""
+    if "@" in mode:
+        base, pct = mode.split("@", 1)
+        return base, float(pct)
+    return mode, 1.0
+
+
 def conv_for(mode: str, **kw) -> nn.Module:
     """Factory: QuantizableConv when quantization is in play, plain
     nn.Conv otherwise (identical param trees either way — nn.Conv is
     kept for the training path so its autodiff is untouched)."""
     if kw.get("kernel_init") is None:
         kw.pop("kernel_init", None)
-    if mode == "off":
+    base, pct = parse_quant_mode(mode)
+    if base == "off":
         return nn.Conv(**kw)
-    return QuantizableConv(mode=mode, **kw)
+    return QuantizableConv(mode=base, percentile=pct, **kw)

@@ -111,7 +111,10 @@ class PredictionHead(nn.Module):
         k_grid = kernel[:, :, self.vis_ch + self.lang_ch :]
 
         dn = ("NHWC", "HWIO", "NHWC")
-        if self.quant_mode in ("calib", "int8"):
+        from zsgnet_tpu.models.quant import parse_quant_mode
+
+        qbase, qpct = parse_quant_mode(self.quant_mode)
+        if qbase in ("calib", "int8"):
             # int8 serving for the decomposed conv0's vis term (the only
             # head conv the QuantizableConv wrapper can't cover, since the
             # kernel is a slice of the shared concat-ordered parameter).
@@ -123,11 +126,15 @@ class PredictionHead(nn.Module):
             absmax = self.variable(
                 "quant", "vis_absmax", lambda: jnp.zeros((), jnp.float32)
             )
-            if self.quant_mode == "calib":
+            if qbase == "calib":
                 if not self.is_initializing():
-                    absmax.value = jnp.maximum(
-                        absmax.value, jnp.max(jnp.abs(vis.astype(jnp.float32)))
+                    a = jnp.abs(vis.astype(jnp.float32))
+                    stat = (
+                        jnp.quantile(a.reshape(-1), qpct)
+                        if qpct < 1.0
+                        else jnp.max(a)
                     )
+                    absmax.value = jnp.maximum(absmax.value, stat)
                 y = jax.lax.conv_general_dilated(
                     vis.astype(self.dtype), k_vis, (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=dn, preferred_element_type=self.dtype,
@@ -267,7 +274,10 @@ class ZSGNet(nn.Module):
         # (512/1024/…), whose first convs differ in shape → per-scale heads.
         head_kw = dict(
             num_anchors=cfg.num_anchors, lang_ch=cfg.lang_dim,
-            mid_ch=cfg.head_ch, dtype=dtype, quant_mode=cfg.quant_mode,
+            mid_ch=cfg.head_ch, dtype=dtype,
+            # The shared head sees all 5 pyramid levels through ONE
+            # activation scale; cfg.quant_head=False keeps it fp.
+            quant_mode=cfg.quant_mode if cfg.quant_head else "off",
         )
         same_ch = len({f.shape[-1] for f in feats}) == 1
         if cfg.use_same_atb and same_ch:

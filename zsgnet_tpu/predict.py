@@ -34,7 +34,7 @@ class Grounder:
 
     def __init__(
         self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8,
-        quantize: bool = False,
+        quantize: bool = False, quant_percentile: float = 0.999,
     ):
         # Serving default: the canvas-packed head (models/canvas.py) is
         # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
@@ -55,9 +55,15 @@ class Grounder:
         self.variables = variables
         self.bs = batch_size
         self.model = get_default_net(cfg, vocab_size=len(vocab))
+        # Calibration clips activation scales at a high |x| quantile —
+        # pure-max calibration collapses accuracy on trained nets
+        # (models/quant.py).
         self._calib_model = (
-            get_default_net(cfg.replace(quant_mode="calib"), vocab_size=len(vocab))
-            if quantize
+            get_default_net(
+                cfg.replace(quant_mode=f"calib@{quant_percentile}"),
+                vocab_size=len(vocab),
+            )
+            if self.quantize
             else None
         )
         anchor_comps = anchor_components_for(cfg)
