@@ -141,12 +141,13 @@ class Config:
     #   1.45× bf16 (BASELINE.md). Calibrate before serving int8 —
     #   Grounder(quantize=True) does both. See models/quant.py.
     quant_mode: str = "off"
-    # Quantize the fusion head too ("int8" mode). MEASURED on the trained
-    # synthetic model: head int8 collapses Acc 0.30→0.004 (the shared
-    # head sees all 5 pyramid levels through ONE activation scale), while
-    # backbone+FPN-only int8 matches bf16 within noise (0.305 vs 0.301).
-    # Default False; see BASELINE.md int8 section.
-    quant_head: bool = False
+    # Quantize the fusion head too ("int8" mode). Activation scales are
+    # keyed per input shape, so the shared head calibrates one scale PER
+    # PYRAMID LEVEL — with a single shared scale head-quant collapsed
+    # trained-model Acc to ~0.00; with per-level scales it matches bf16
+    # within noise (0.297 vs 0.301 measured). False falls back to
+    # backbone+FPN-only int8 (+14%). See BASELINE.md int8 section.
+    quant_head: bool = True
     # Mesh axis for cross-device sync-BatchNorm ("" = per-shard stats).
     # Set automatically by the Learner when training over a mesh; makes
     # sharded training bit-equal to the same global batch on one chip.

@@ -94,10 +94,16 @@ class QuantizableConv(nn.Module):
         if isinstance(pad, (list, tuple)) and pad and isinstance(pad[0], (list, tuple)):
             pad = [tuple(p) for p in pad]
 
+        # Scale variables are keyed by input spatial shape: a SHARED module
+        # (the fusion head runs on all 5 pyramid levels) then calibrates
+        # one scale PER LEVEL instead of one scale for all — the
+        # one-scale-for-all variant collapses trained-model accuracy
+        # (BASELINE.md int8 section).
+        scale_name = f"act_absmax_{x.shape[1]}x{x.shape[2]}"
         if self.mode in ("off", "calib"):
             if self.mode == "calib":
                 absmax = self.variable(
-                    "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+                    "quant", scale_name, lambda: jnp.zeros((), jnp.float32)
                 )
                 if not self.is_initializing():
                     a = jnp.abs(x.astype(jnp.float32))
@@ -124,7 +130,7 @@ class QuantizableConv(nn.Module):
 
         assert self.mode == "int8", f"unknown quant mode {self.mode!r}"
         absmax = self.variable(
-            "quant", "act_absmax", lambda: jnp.zeros((), jnp.float32)
+            "quant", scale_name, lambda: jnp.zeros((), jnp.float32)
         )
         # Guard: an uncalibrated (zero) absmax would zero the activations —
         # fall back to a scale of 1 so the failure is loud in accuracy

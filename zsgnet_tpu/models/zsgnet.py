@@ -124,7 +124,8 @@ class PredictionHead(nn.Module):
             from zsgnet_tpu.models.quant import _quantize_sym
 
             absmax = self.variable(
-                "quant", "vis_absmax", lambda: jnp.zeros((), jnp.float32)
+                "quant", f"vis_absmax_{vis.shape[1]}x{vis.shape[2]}",
+                lambda: jnp.zeros((), jnp.float32),
             )
             if qbase == "calib":
                 if not self.is_initializing():
