@@ -101,7 +101,9 @@ def test_full_model_int8_agrees_with_bf16_decode(rng):
 
 
 def test_grounder_quantize_flow(rng, tmp_path):
-    """Grounder(quantize=True) calibrates on the first batch and serves."""
+    """Grounder(quantize=True) calibrates on the first batch at
+    throughput batch sizes, and deliberately stays bf16 in canvas-mode
+    latency serving (B≤16 — int8 measured slower there; BASELINE.md)."""
     from zsgnet_tpu.data.vocab import Vocab
     from zsgnet_tpu.predict import Grounder
 
@@ -110,16 +112,24 @@ def test_grounder_quantize_flow(rng, tmp_path):
     model = ZSGNet(cfg=cfg, vocab_size=len(vocab))
     batch = make_batch(rng, cfg, b=2, vocab=len(vocab))
     v = model.init(jax.random.PRNGKey(0), batch)
-    g = Grounder(cfg, vocab, dict(v), batch_size=2, quantize=True)
     h, w = cfg.resize_img
     imgs = [rng.integers(0, 255, (h, w, 3)).astype(np.uint8) for _ in range(2)]
-    res = g.ground(imgs, ["the red box", "a green ellipse"])
+    queries = ["the red box", "a green ellipse"]
+
+    # throughput batch: quantized flow with first-batch calibration
+    g = Grounder(cfg, vocab, dict(v), batch_size=32, quantize=True)
+    res = g.ground(imgs, queries)
     assert len(res) == 2 and "quant" in g.variables
     assert all(np.isfinite(r["score"]) for r in res)
-    # second call reuses the calibration (no recalibration)
     qv = g.variables["quant"]
-    g.ground(imgs, ["the red box", "a green ellipse"])
+    g.ground(imgs, queries)  # second call reuses the calibration
     assert g.variables["quant"] is qv
+
+    # latency batch: canvas mode wins in bf16 — quantize is ignored
+    g2 = Grounder(cfg, vocab, dict(v), batch_size=2, quantize=True)
+    assert not g2.quantize and g2.cfg.head_canvas
+    res2 = g2.ground(imgs, queries)
+    assert len(res2) == 2 and "quant" not in g2.variables
 
 
 def test_ssd_int8_mode(rng):

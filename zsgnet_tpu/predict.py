@@ -48,6 +48,15 @@ class Grounder:
         # already says quant_mode="int8" implies quantize (serving
         # uncalibrated int8 would silently mis-scale every conv).
         self.quantize = quantize or cfg.quant_mode == "int8"
+        if self.quantize and cfg.head_canvas:
+            # Latency batches are dispatch/VPU-bound, not MXU-bound:
+            # int8's quantize/dequantize passes make canvas serving
+            # SLOWER (B=8: 3.74 ms int8-backbone vs 2.78 ms bf16), and
+            # the packed canvas would also funnel all pyramid levels
+            # through one head scale (the accuracy trap BASELINE.md
+            # documents). bf16 canvas stays the latency mode; int8 kicks
+            # in at throughput batch sizes.
+            self.quantize = False
         if self.quantize:
             cfg = cfg.replace(quant_mode="int8")
         self.cfg = cfg
