@@ -31,6 +31,7 @@ from pathlib import Path
 ARGS = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--") and "=" in a)
 N = int(ARGS.get("n", 2048))
 EPOCHS = int(ARGS.get("epochs", 4))
+MDL = ARGS.get("mdl", "retina")
 ROOT = Path(ARGS.get("root", "/tmp/zsg_dataset_drive"))
 
 from zsgnet_tpu.config import get_default_cfg
@@ -46,7 +47,7 @@ print(f"generated {N}+512 jpegs in {time.time()-t0:.1f}s", flush=True)
 
 cfg = get_default_cfg().replace(
     ds_to_use="synthetic", data_dir=str(ROOT), bs=64, nw=2, epochs=EPOCHS,
-    lr=1e-3, resize_img=(300, 300), bn_variance="shifted",
+    lr=1e-3, resize_img=(300, 300), bn_variance="shifted", mdl_to_use=MDL,
     use_packed_cache=True, do_dist=False, tmp_path=str(ROOT / "tmp"),
     log_every=10,
 )
