@@ -32,12 +32,28 @@ batch = {
 print(f"B={B} platform={jax.devices()[0].platform}", flush=True)
 
 variables = None
-for name, cfg in (("per-level", base), ("canvas", base.replace(head_canvas=True))):
+quant_vars = None
+for name, cfg in (
+    ("per-level", base),
+    ("canvas", base.replace(head_canvas=True)),
+    ("int8", base.replace(quant_mode="int8")),
+):
     model = get_default_net(cfg, vocab_size=10000)
     if variables is None:  # identical param tree — init once, share
         variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
             jax.random.PRNGKey(0), batch
         )
+    v = variables
+    if cfg.quant_mode == "int8":
+        if quant_vars is None:
+            calib = get_default_net(
+                base.replace(quant_mode="calib@0.999"), vocab_size=10000
+            )
+            _, qv = jax.jit(
+                lambda v, b: calib.apply(v, b, train=False, mutable=["quant"])
+            )(variables, batch)
+            quant_vars = qv["quant"]
+        v = {**variables, "quant": quant_vars}
     comps = anchor_components_for(cfg)
 
     @jax.jit
@@ -46,12 +62,12 @@ for name, cfg in (("per-level", base), ("canvas", base.replace(head_canvas=True)
         return decode_best_box_levels(out["att_levels"], out["delta_levels"], comps)
 
     for _ in range(3):
-        out = infer(variables, batch)
+        out = infer(v, batch)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     N = 100
     for _ in range(N):
-        out = infer(variables, batch)
+        out = infer(v, batch)
     s0 = float(jnp.sum(out[0]))
     dt = (time.perf_counter() - t0) / N
     print(f"{name:10s} {dt*1000:7.2f} ms  {B/dt:8.1f} qps  (checksum {s0:.4f})", flush=True)
