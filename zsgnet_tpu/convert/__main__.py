@@ -147,11 +147,15 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     )
 
     # Fresh init at the matching sizes, then merge converted leaves in.
+    # Detected embedding sizes are defaults; explicit --emb_dim/--vocab_size
+    # overrides win (and must not collide as duplicate kwargs — ADVICE r2 #4).
     vocab_size = int(sd[layout["embed_key"]].shape[0]) if layout["embed_key"] else 10000
     emb_dim = int(sd[layout["embed_key"]].shape[1]) if layout["embed_key"] else 300
-    cfg = get_default_cfg().replace(
-        compute_dtype="float32", do_dist=False, emb_dim=emb_dim, **overrides
-    )
+    vocab_size = int(overrides.pop("vocab_size", vocab_size))
+    vocab_src = overrides.pop("vocab", None)  # optional: copy into the ckpt dir
+    cfg_kw = {"compute_dtype": "float32", "do_dist": False, "emb_dim": emb_dim}
+    cfg_kw.update(overrides)  # Config.replace coerces string values by field type
+    cfg = get_default_cfg().replace(**cfg_kw)
     model = get_default_net(cfg, vocab_size=vocab_size)
     h, w = cfg.resize_img
     sample = {
@@ -187,6 +191,14 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     mgr = CheckpointManager(out_dir)
     mgr.save(0, {"params": params, "batch_stats": stats, "best_metric": -1.0})
     mgr.wait()  # saves are host-async; make durable before the CLI exits
+    # Self-contained output dir (VERDICT r2 #2): persist the cfg this
+    # conversion inferred so Grounder/main --resume rebuild the same
+    # architecture with no flags; --vocab=<path> copies the vocab beside it.
+    (out_dir / "cfg.json").write_text(cfg.replace(vocab_size=vocab_size).dumps())
+    if vocab_src:
+        import shutil
+
+        shutil.copy(vocab_src, out_dir / "vocab.json")
     report = {
         "leaves_total": len(all_flat),
         "leaves_converted": converted_n,

@@ -55,8 +55,17 @@ class Grounder:
             # the packed canvas would also funnel all pyramid levels
             # through one head scale (the accuracy trap BASELINE.md
             # documents). bf16 canvas stays the latency mode; int8 kicks
-            # in at throughput batch sizes.
+            # in at throughput batch sizes. The cfg must agree — leaving
+            # quant_mode="int8" here would build int8 convs that nothing
+            # ever calibrates (ADVICE r2 #1).
+            if quantize:
+                print(
+                    "Grounder: quantize=True ignored at latency batch sizes "
+                    f"(batch_size={batch_size} <= 16 uses the bf16 canvas head; "
+                    "pass batch_size>16 for int8 throughput serving)"
+                )
             self.quantize = False
+            cfg = cfg.replace(quant_mode="off")
         if self.quantize:
             cfg = cfg.replace(quant_mode="int8")
         self.cfg = cfg
@@ -102,12 +111,43 @@ class Grounder:
 
     @classmethod
     def from_checkpoint(
-        cls, ckpt_dir: str | Path, vocab_path: str | Path, cfg: Config | None = None,
-        batch_size: int = 8, quantize: bool = False,
+        cls, ckpt_dir: str | Path, vocab_path: str | Path | None = None,
+        cfg: Config | None = None, batch_size: int = 8, quantize: bool = False,
+        cfg_overrides: dict | None = None,
     ) -> "Grounder":
-        from zsgnet_tpu.train.checkpoint import CheckpointManager
+        """Serve from a bare checkpoint directory.
 
-        cfg = cfg or get_default_cfg()
+        Checkpoint dirs are self-contained (VERDICT r2 #2): the Learner
+        persists ``cfg.json`` + ``vocab.json`` beside the weights, so
+        neither ``vocab_path`` nor ``cfg`` is required — the trained
+        architecture (``head_ch``, ``fpn_ch``, ``resize_img``,
+        ``bn_variance``…) restores from the dir. Explicit args win:
+        ``cfg`` replaces the sidecar wholesale; ``cfg_overrides`` patches
+        individual keys on top of whichever base applies.
+        """
+        from zsgnet_tpu.train.checkpoint import (
+            CheckpointManager,
+            find_sidecar,
+            load_sidecar_cfg,
+        )
+
+        if cfg is None:
+            cfg = load_sidecar_cfg(ckpt_dir)
+            if cfg is None:
+                print(
+                    f"Grounder: no cfg.json beside {ckpt_dir} — assuming the "
+                    "default architecture (pre-r3 checkpoint?)"
+                )
+                cfg = get_default_cfg()
+        if cfg_overrides:
+            cfg = cfg.replace(**cfg_overrides)
+        if vocab_path is None:
+            vocab_path = find_sidecar(ckpt_dir, "vocab.json")
+            if vocab_path is None:
+                raise FileNotFoundError(
+                    f"no vocab.json beside {ckpt_dir}; pass vocab_path= "
+                    "(checkpoints saved by r3+ Learners include it)"
+                )
         vocab = Vocab.load(vocab_path)
         restored = CheckpointManager(ckpt_dir).restore()
         variables = {"params": restored["params"]}
@@ -179,11 +219,12 @@ def main() -> None:
     if len(args) != 3:
         raise SystemExit(__doc__)
     ckpt_dir, image, query = args
-    vocab_path = overrides.pop("vocab", str(Path(ckpt_dir) / "vocab.json"))
+    vocab_path = overrides.pop("vocab", None)
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
-    cfg = get_default_cfg().replace(**overrides) if overrides else get_default_cfg()
+    # cfg base = the checkpoint's own cfg.json sidecar; --key=val patches it.
     g = Grounder.from_checkpoint(
-        ckpt_dir, vocab_path, cfg, batch_size=1, quantize=quantize
+        ckpt_dir, vocab_path, batch_size=1, quantize=quantize,
+        cfg_overrides=overrides or None,
     )
     (res,) = g.ground([image], [query])
     x1, y1, x2, y2 = res["box_xyxy"]

@@ -31,6 +31,11 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
+            # Registering the handler up front lets item_metadata() work on
+            # a FRESH manager instance (otherwise it returns None until a
+            # save/restore with args teaches the registry) — the adaptive
+            # template in restore() depends on it.
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(self, step: int, payload: dict[str, Any]) -> None:
@@ -51,9 +56,76 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.dir}")
         if template is not None:
             return self.mngr.restore(
-                step, args=ocp.args.StandardRestore(template)
+                step, args=ocp.args.StandardRestore(self._adapt_template(step, template))
             )
         return self.mngr.restore(step)
+
+    def _adapt_template(self, step: int, template: dict[str, Any]) -> dict[str, Any]:
+        """Fit the restore template to the on-disk TOP-LEVEL key set.
+
+        Orbax StandardRestore demands an exact tree match; the payload's
+        scalar bookkeeping keys evolve across framework versions (e.g.
+        ``plateau_best`` added in r3). Array subtrees stay strict (an
+        architecture mismatch must still fail loudly); scalar keys are
+        intersected, and scalars on disk that the template lacks get a
+        dtype-default so they restore too (readable via ``.get``).
+        """
+        try:
+            meta = self.mngr.item_metadata(step)
+            disk_keys = list(meta.keys())
+        except Exception:
+            return template
+        import numpy as np
+
+        out: dict[str, Any] = {}
+        for k in disk_keys:
+            if k in template:
+                out[k] = template[k]
+            else:
+                md = meta.tree[k] if hasattr(meta, "tree") else None
+                dtype = getattr(md, "dtype", None)
+                shape = getattr(md, "shape", None)
+                if shape in ((), None):
+                    out[k] = (
+                        0 if dtype is not None and np.issubdtype(dtype, np.integer) else 0.0
+                    )
+                else:  # unknown array subtree — let orbax report the mismatch
+                    return template
+        return out
+
+
+def find_sidecar(ckpt_dir: str | Path, name: str) -> Path | None:
+    """Locate a checkpoint sidecar file (``cfg.json`` / ``vocab.json``).
+
+    Sidecars live at the model-dir top level; a checkpoint path may point
+    at the dir itself OR its ``best/`` subdir (the single-slot
+    best-by-val-Acc store), so the parent is checked too.
+    """
+    ckpt_dir = Path(ckpt_dir)
+    for d in (ckpt_dir, ckpt_dir.parent):
+        p = d / name
+        if p.exists():
+            return p
+    return None
+
+
+def load_sidecar_cfg(ckpt_dir: str | Path):
+    """Restore the ``Config`` persisted beside a checkpoint, or None.
+
+    Makes checkpoints self-contained (VERDICT r2 #2; reference ships
+    ``.pth`` + cfg.json together — SURVEY.md §5 checkpoint row): a model
+    trained with non-default architecture flags (``head_ch``, ``fpn_ch``,
+    ``resize_img``…) can be served/resumed from the bare directory with
+    no flags reconstructed by hand.
+    """
+    from zsgnet_tpu.config import Config
+
+    p = find_sidecar(ckpt_dir, "cfg.json")
+    if p is None:
+        return None
+    import json
+
+    return Config().replace(**json.loads(p.read_text()))
 
 
 def partial_load(params: Any, loaded: Any) -> Any:
