@@ -338,7 +338,10 @@ int zsg_jpeg_decode(const uint8_t* data, size_t n, uint8_t** out_rgb,
   ZsgJpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = zsg_jpeg_error_exit;
-  uint8_t* rgb = nullptr;
+  // volatile: modified after setjmp and read in the longjmp handler —
+  // without it the value is indeterminate there (C11 7.13.2.1) and the
+  // decode buffer leaks when libjpeg errors mid-scanline.
+  uint8_t* volatile rgb = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     std::free(rgb);

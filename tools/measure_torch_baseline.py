@@ -11,9 +11,9 @@ V100 derivation (fp32 eager, the reference's actual regime — a 2019
 pure-PyTorch repo, no AMP):
     eager ResNet-50 fp32 V100 ≈ 800 img/s @ 224² (widely reproduced
     NGC/community figure) → effective ≈ 800 × 8.2 GF = 6.6 TFLOP/s
-    ZSGNet fwd ≈ 21.5 GF/query → V100 ≈ 6.6e12 / 21.5e9 ≈ 305 qps
-    AMP/fp16 upper bound ≈ 2× → ≈ 610 qps
-bench.py uses V100_REF_QPS = 305 (fp32 eager); the north-star >5×/chip
+    ZSGNet fwd ≈ 21.5 GF/query → V100 ≈ 6.6e12 / 21.5e9 ≈ 307 qps
+    AMP/fp16 upper bound ≈ 2× → ≈ 614 qps
+bench.py uses V100_REF_QPS = 307 (fp32 eager); the north-star >5×/chip
 must also clear the AMP bound.
 """
 

@@ -42,8 +42,11 @@ class ShiftedBatchNorm(nn.BatchNorm):
 
     Supports the subset of BatchNorm config this framework uses:
     ``axis=-1`` feature axis, fp32 reductions, optional ``axis_name``
-    sync over a mesh axis. Eval mode (running stats) is byte-identical
-    to ``nn.BatchNorm``.
+    sync over a mesh axis. Eval mode (running stats) is numerically
+    equivalent to ``nn.BatchNorm`` but not bit-identical under bf16:
+    this module normalizes in fp32 and casts once at the end, while
+    ``nn.BatchNorm(dtype=bfloat16)`` computes in bf16 — a ≤1-ulp bf16
+    difference in the last bits (exact under fp32 compute).
     """
 
     @nn.compact

@@ -24,11 +24,15 @@ bf16 headline. Design:
 ``Grounder`` exposes this as ``quantize=True`` (calibrates on the first
 batch). **Accuracy, measured on a trained model** (10-epoch synthetic
 checkpoint): backbone+FPN int8 matches bf16 within noise (val Acc 0.305
-vs 0.301); quantizing the SHARED HEAD collapses it to ~0.00 — one
-activation scale cannot serve five pyramid levels — so
-``cfg.quant_head`` defaults to False. Calibration supports percentile
-clipping (``"calib@0.999"``) for outlier-heavy activations; pure-max is
-exact on well-behaved ranges.
+vs 0.301). Quantizing the SHARED HEAD with one activation scale for all
+five pyramid levels collapses Acc to ~0.00 — which is why activation
+scales are keyed by input spatial shape (see ``scale_name`` below): the
+shared head then calibrates one scale PER LEVEL, and head quantization
+matches bf16 within noise (0.297 vs 0.301). With per-level scales in
+place, ``cfg.quant_head`` defaults to True (the full int8 path,
++31% qps); False falls back to backbone+FPN-only int8 (+14%).
+Calibration supports percentile clipping (``"calib@0.999"``) for
+outlier-heavy activations; pure-max is exact on well-behaved ranges.
 """
 
 from __future__ import annotations
@@ -132,9 +136,11 @@ class QuantizableConv(nn.Module):
         absmax = self.variable(
             "quant", scale_name, lambda: jnp.zeros((), jnp.float32)
         )
-        # Guard: an uncalibrated (zero) absmax would zero the activations —
-        # fall back to a scale of 1 so the failure is loud in accuracy
-        # metrics, not silent NaNs.
+        # Guard: an uncalibrated (zero) absmax yields act_scale=1e-6/127,
+        # i.e. essentially every activation saturates at ±127 — outputs
+        # are garbage but FINITE, so the failure is loud in accuracy
+        # metrics, not silent NaNs. (Grounder auto-calibrates before the
+        # first int8 batch, so this only fires on misuse.)
         act_scale = jnp.maximum(absmax.value, 1e-6) / 127.0
         k32 = kernel.astype(jnp.float32)
         w_scale = jnp.maximum(
