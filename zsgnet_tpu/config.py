@@ -33,6 +33,7 @@ class Config:
     ds_to_use: str = "refclef"  # refclef | flickr30k | flickr_split0 | flickr_split1 | vg_split
     mdl_to_use: str = "retina"  # retina (ResNet50+FPN) | ssd_vgg
     data_dir: str = "data"
+    test_split: str = "test"     # eval CSV stem: test | testA | testB … (refer toolkit sub-splits)
     bs: int = 16
     nw: int = 4                  # data-loading worker threads
     epochs: int = 10

@@ -4,6 +4,14 @@ Consumes the standard `refer` toolkit distribution (licheng Yu's
 refer_python): ``refs(berkeley).p`` (or ``refs(unc).p``) pickles plus
 ``instances.json`` (COCO-format boxes). Each referring expression becomes
 one row; the gt box is the referred instance's bbox (xywh → xyxy).
+
+Split conventions follow the toolkit: berkeley splits carry
+``train``/``val``/``test``; unc splits additionally carry ``testA``/
+``testB`` (people / non-people in RefCOCO; testA/B/C in RefClef-unc).
+Sub-test splits are preserved as their OWN CSVs (``testA.csv`` …) so the
+reference's per-split evaluation protocol survives, AND their union is
+written as ``test.csv`` for the unified loader (eval on a sub-split:
+``--only_test=True --test_split=testA``).
 """
 
 from __future__ import annotations
@@ -28,8 +36,11 @@ def convert(refer_dir: Path, out: Path, refs_file: str = "refs(berkeley).p") -> 
     rows_by_split: dict[str, list[dict]] = {"train": [], "val": [], "test": []}
     for ref in refs:
         split = ref.get("split", "train")
-        if split not in rows_by_split:  # testA/testB → test
-            split = "test" if split.startswith("test") else "train"
+        if split not in rows_by_split:
+            if split.startswith("test"):  # testA/testB/… kept distinct
+                rows_by_split[split] = []
+            else:
+                split = "train"
         ann = ann_by_id.get(ref["ann_id"])
         img = img_by_id.get(ref["image_id"])
         if ann is None or img is None:
@@ -45,6 +56,12 @@ def convert(refer_dir: Path, out: Path, refs_file: str = "refs(berkeley).p") -> 
                     else " ".join(sent["tokens"]),
                 }
             )
+
+    # Sub-test splits (testA/testB/…): own CSV each + union into test.csv,
+    # preserving the toolkit's per-split eval protocol (VERDICT r2 #7).
+    subtests = sorted(k for k in rows_by_split if k.startswith("test") and k != "test")
+    for k in subtests:
+        rows_by_split["test"].extend(rows_by_split[k])
 
     out_csv = out / "csv_dir"
     out_csv.mkdir(parents=True, exist_ok=True)

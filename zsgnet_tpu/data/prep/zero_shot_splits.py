@@ -15,9 +15,12 @@ Natural Language Queries" (arXiv:1908.07129) from unified CSVs:
     contains ≥1 distractor object semantically similar to the target
     (A/B sub-variants by similarity threshold).
 
-Category and similarity inputs are provided as files (a word→category map
-and an optional word-similarity table) because the originals derive from
-WordNet/word2vec resources not shipped here. Case 0 needs no resources.
+Category and similarity inputs are files: the word→category map for VG is
+generated from the standard ``objects.json`` by ``visual_genome.py
+--objects`` (WordNet-synset-head categories + per-image object lists —
+the dataset's own annotations, no external resources), or hand-provided
+for Flickr; the optional word-similarity table stays external (the
+original derives from word2vec). Case 0 needs no resources.
 """
 
 from __future__ import annotations
