@@ -4,8 +4,11 @@ Protocol (the reference publishes no throughput numbers — SURVEY.md §6 —
 so this defines the V100-equivalent protocol BASELINE.md calls for):
 steady-state single-shot grounding inference — full ZSGNet retina 300²
 forward (ResNet-50+FPN, BiLSTM, fusion head) + top-anchor box decode —
-at batch 64, bf16 activations, on ONE chip. Metric: image-query pairs
-per second.
+at batch 128 (best measured), bf16 activations, on ONE chip. Metric:
+image-query pairs per second. The headline stays the parity-grade bf16
+number; the JSON also reports ``int8_qps`` — the calibrated int8 serving
+path (per-level head scales; accuracy parity, BASELINE.md int8 table) —
+so the recorded artifact shows the repo's actual serving frontier.
 
 ``vs_baseline`` compares against the reference running eager-fp32 PyTorch
 on a V100 (its actual regime — a 2019 pure-PyTorch repo, no AMP), derived
@@ -75,26 +78,58 @@ def main() -> None:
         )
         return pred_box, score
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(infer(variables, batch))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = infer(variables, batch)
-    # Value fetch forces true completion of the whole queued pipeline.
-    float(jax.numpy.sum(out[0]))
-    dt = time.perf_counter() - t0
-    qps = BATCH * ITERS / dt
+    def measure(fn, vs) -> float:
+        for _ in range(WARMUP):
+            jax.block_until_ready(fn(vs, batch))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(vs, batch)
+        # Value fetch forces true completion of the whole queued pipeline.
+        float(jax.numpy.sum(out[0]))
+        return BATCH * ITERS / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "grounding_queries_per_sec_per_chip",
-                "value": round(qps, 2),
-                "unit": "qps",
-                "vs_baseline": round(qps / V100_REF_QPS, 3),
-            }
+    qps = measure(infer, variables)
+
+    # int8 serving path (models/quant.py): calibrate per-level activation
+    # scales on this batch, then measure the quantized forward. Measured
+    # at accuracy parity with bf16 (BASELINE.md int8 table); reported as
+    # a second field so the driver artifact records the serving frontier
+    # (VERDICT r2 weak #4). Any failure falls back to the bf16 figure
+    # alone (e.g. non-TPU backends).
+    int8_qps = None
+    try:
+        cfg_i8 = cfg.replace(quant_mode="int8")
+        model_i8 = get_default_net(cfg_i8, vocab_size=10000)
+        calib = get_default_net(
+            cfg.replace(quant_mode="calib@0.999"), vocab_size=10000
         )
-    )
+        _, qv = jax.jit(
+            lambda v, b: calib.apply(v, b, train=False, mutable=["quant"])
+        )(variables, batch)
+        v_i8 = {**variables, "quant": qv["quant"]}
+
+        @jax.jit
+        def infer_i8(variables, batch):
+            out = model_i8.apply(variables, batch, train=False)
+            pred_box, score = decode_best_box_levels(
+                out["att_levels"], out["delta_levels"], anchor_comps
+            )
+            return pred_box, score
+
+        int8_qps = measure(infer_i8, v_i8)
+    except Exception as e:
+        print(f"# int8 path skipped: {type(e).__name__}: {e}", flush=True)
+
+    row = {
+        "metric": "grounding_queries_per_sec_per_chip",
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / V100_REF_QPS, 3),
+    }
+    if int8_qps is not None:
+        row["int8_qps"] = round(int8_qps, 2)
+        row["int8_vs_baseline"] = round(int8_qps / V100_REF_QPS, 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":
