@@ -49,8 +49,9 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Default runs are the fast iteration gate (<5 min); the nightly /
-    verify pass uses ``pytest --runslow`` for everything (VERDICT r1 #8)."""
+    """Default runs are the fast iteration gate (~10 min solo, incl. the
+    2-process multihost smoke); the nightly / verify pass uses
+    ``pytest --runslow`` for everything (VERDICT r1 #8)."""
     if config.getoption("--runslow"):
         return
     skip = pytest.mark.skip(reason="slow test: pass --runslow to include")

@@ -342,6 +342,31 @@ def test_shifted_bn_matches_exact():
     np.testing.assert_array_equal(np.asarray(y_ev_s), np.asarray(y_ev_e))
 
 
+def test_shifted16_forward_close_but_rejected_for_training():
+    """The measured-rejected bf16-moment mode (BASELINE.md round 3) must
+    not rot: forward stays within a few bf16 ulps of exact (the rejection
+    is about GRADIENTS — tools/check_bn_grads.py reproduces rel-L2 1.28 —
+    and about the absent speed win, not the forward)."""
+    import jax
+
+    from zsgnet_tpu.models.resnet import make_batch_norm
+
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng_np.normal(size=(4, 9, 9, 16)) * 3 + 5).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5,
+              dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    outs = {}
+    for mode in ("exact", "shifted16"):
+        bn = make_batch_norm(mode, **kw)
+        v = bn.init(jax.random.PRNGKey(0), x)
+        y, _ = bn.apply(v, x, mutable=["batch_stats"])
+        outs[mode] = np.asarray(y, dtype=np.float32)
+    # ≤2 bf16 ulps at these magnitudes (|y| ≲ 4 → ulp ≈ 1/64)
+    assert np.abs(outs["shifted16"] - outs["exact"]).max() <= 2 / 64 + 1e-6
+
+
 def test_bn_variance_modes_share_param_tree(rng):
     """All three bn_variance modes init the identical variable tree, so
     checkpoints interchange."""

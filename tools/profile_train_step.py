@@ -34,16 +34,24 @@ REMAT = "--remat" in sys.argv
 CANVAS = "--canvas" in sys.argv
 NOTRACE = "--notrace" in sys.argv
 
-BN_MODE = "shifted" if "--bnshift" in sys.argv else (
-    "fast" if "--bnfast" in sys.argv else "exact"
+BN_MODE = (
+    "shifted16" if "--bnshift16" in sys.argv
+    else "shifted" if "--bnshift" in sys.argv
+    else "fast" if "--bnfast" in sys.argv
+    else "exact"
 )
 RESIZE = next(
     (int(a.split("=")[1]) for a in sys.argv if a.startswith("--resize=")), 300
 )
 
+VMEM = next(
+    (int(a.split("=")[1]) for a in sys.argv if a.startswith("--vmem=")), 0
+)
+
 cfg = get_default_cfg().replace(
     bs=B, do_dist=False, remat_backbone=REMAT, head_canvas=CANVAS,
     bn_variance=BN_MODE, resize_img=(RESIZE, RESIZE),
+    spd_stem="--spd" in sys.argv, tpu_vmem_kib=VMEM,
 )
 model = get_default_net(cfg, vocab_size=10000)
 rng = np.random.default_rng(0)

@@ -358,7 +358,9 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
 
     Expects ``<data_dir>/<ds subdir>/{train,val,test}.csv`` and the image
     dir per :data:`DATASET_LAYOUT`. The vocab is built from train queries
-    and cached as ``vocab.json`` beside the CSVs.
+    and cached as ``vocab.json`` beside the CSVs. ``cfg.test_split``
+    selects a different eval CSV stem (e.g. ``testA`` for the refer
+    toolkit's preserved sub-splits).
     """
     if cfg.ds_to_use not in DATASET_LAYOUT:
         raise ValueError(

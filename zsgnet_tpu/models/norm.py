@@ -49,6 +49,17 @@ class ShiftedBatchNorm(nn.BatchNorm):
     difference in the last bits (exact under fp32 compute).
     """
 
+    # "bfloat16" (cfg.bn_variance="shifted16"): elementwise moment math in
+    # bf16 with fp32 ACCUMULATION — a round-3 experiment on the ~12% BN
+    # loop-fusion slice, measured and REJECTED on both axes: 126.4 ms vs
+    # the 125.9 fp32 baseline (XLA already reads the bf16 activation and
+    # accumulates fp32, so there was no bandwidth to save), and full-model
+    # grad rel-L2 vs exact is 1.28 (vs shifted's accepted 0.022) — bf16
+    # rounding in the moments breaks the near-cancellation in the BN
+    # backward. Kept as the reproducible negative result
+    # (tools/check_bn_grads.py); do not use for training.
+    moment_dtype: object = jnp.float32
+
     @nn.compact
     def __call__(self, x: Array, use_running_average: bool | None = None) -> Array:
         use_running_average = flax_module.merge_param(
@@ -68,11 +79,14 @@ class ShiftedBatchNorm(nn.BatchNorm):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            x32 = x.astype(jnp.float32)
+            md = self.moment_dtype
+            xm = x.astype(md)
             c = jax.lax.stop_gradient(ra_mean.value)
             # ONE pass over x: both moments share the read; XLA fuses them.
-            mean = jnp.mean(x32, axis=reduction_axes)
-            sq = jnp.mean(jnp.square(x32 - c), axis=reduction_axes)
+            mean = jnp.mean(xm, axis=reduction_axes, dtype=jnp.float32)
+            sq = jnp.mean(
+                jnp.square(xm - c.astype(md)), axis=reduction_axes, dtype=jnp.float32
+            )
             if self.axis_name is not None and not self.is_initializing():
                 mean = jax.lax.pmean(mean, self.axis_name)
                 sq = jax.lax.pmean(sq, self.axis_name)

@@ -32,9 +32,11 @@ Array = jnp.ndarray
 def make_batch_norm(variance_mode: str, **kw) -> nn.Module:
     """BatchNorm factory over cfg.bn_variance (param tree identical in
     all modes — checkpoints interchange)."""
-    if variance_mode == "shifted":
+    if variance_mode in ("shifted", "shifted16"):
         from zsgnet_tpu.models.norm import ShiftedBatchNorm
 
+        if variance_mode == "shifted16":  # bf16 moment math, fp32 accumulation
+            kw["moment_dtype"] = jnp.bfloat16
         return ShiftedBatchNorm(**kw)
     if variance_mode not in ("exact", "fast"):
         raise ValueError(f"unknown bn_variance: {variance_mode!r}")

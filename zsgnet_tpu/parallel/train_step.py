@@ -185,6 +185,21 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
     return compute_loss
 
 
+def _compiler_options(cfg: Config) -> dict[str, str] | None:
+    """PJRT compiler options for the jitted steps (TPU only).
+
+    ``cfg.tpu_vmem_kib`` → ``xla_tpu_scoped_vmem_limit_kib``; measured
+    +1.7% train qps at 24576 on the 300² B=128 step (BASELINE.md round-3
+    sweep). XLA_FLAGS cannot carry TPU flags here — the local CPU-build
+    client rejects the names — but compiler_options ship with the compile
+    request and reach the TPU compiler (server-verified). Off-TPU the
+    options would fail the CPU compiler, so they are gated out.
+    """
+    if cfg.tpu_vmem_kib and jax.default_backend() == "tpu":
+        return {"xla_tpu_scoped_vmem_limit_kib": str(cfg.tpu_vmem_kib)}
+    return None
+
+
 def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     """Build the jitted train step: (state, batch) → (state, metrics).
 
@@ -232,8 +247,9 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         )
         return new_state, ls
 
+    opts = _compiler_options(cfg)
     if mesh is None:
-        return jax.jit(step_shard, donate_argnums=0)
+        return jax.jit(step_shard, donate_argnums=0, compiler_options=opts)
 
     state_spec = P()
     batch_spec = P(axis)
@@ -244,7 +260,7 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         out_specs=(state_spec, state_spec),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=0)
+    return jax.jit(sharded, donate_argnums=0, compiler_options=opts)
 
 
 def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
@@ -288,8 +304,9 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         ev["loss"] = jnp.broadcast_to(total, ev["iou"].shape)
         return ev
 
+    opts = _compiler_options(cfg)
     if mesh is None:
-        return jax.jit(run)
+        return jax.jit(run, compiler_options=opts)
 
     sharded = shard_map(
         run,
@@ -298,4 +315,4 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         out_specs=P(cfg.data_axis),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, compiler_options=opts)
