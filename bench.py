@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -47,8 +48,11 @@ def main() -> None:
     from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
     from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 
+    from zsgnet_tpu.utils.compile import compiler_options_for
+
     cfg = get_default_cfg().replace(bs=BATCH, do_dist=False)
     model = get_default_net(cfg, vocab_size=10000)
+    copts = compiler_options_for(cfg)  # cfg.tpu_vmem_kib (TPU-gated)
 
     rng = np.random.default_rng(0)
     h, w = cfg.resize_img
@@ -70,7 +74,7 @@ def main() -> None:
     )
     anchor_comps = anchor_components_for(cfg)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=copts)
     def infer(variables, batch):
         out = model.apply(variables, batch, train=False)
         pred_box, score = decode_best_box_levels(
@@ -108,7 +112,7 @@ def main() -> None:
         )(variables, batch)
         v_i8 = {**variables, "quant": qv["quant"]}
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=copts)
         def infer_i8(variables, batch):
             out = model_i8.apply(variables, batch, train=False)
             pred_box, score = decode_best_box_levels(

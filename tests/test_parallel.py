@@ -79,3 +79,25 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_compiler_options_gating(monkeypatch):
+    """cfg.tpu_vmem_kib reaches the compiler only on TPU backends.
+
+    The options dict carries TPU-only flag names that would fail the CPU
+    compiler, so off-TPU the helper must return None regardless of cfg;
+    on TPU it must emit the scoped-VMEM flag (BASELINE.md round-3 sweeps).
+    """
+    import jax
+
+    from zsgnet_tpu.config import get_default_cfg
+    from zsgnet_tpu.utils.compile import compiler_options_for
+
+    cfg = get_default_cfg()
+    assert compiler_options_for(cfg.replace(tpu_vmem_kib=0)) is None
+    # Tests run on the forced-CPU platform (conftest): gated out.
+    assert compiler_options_for(cfg.replace(tpu_vmem_kib=24576)) is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert compiler_options_for(cfg.replace(tpu_vmem_kib=24576)) == {
+        "xla_tpu_scoped_vmem_limit_kib": "24576"
+    }

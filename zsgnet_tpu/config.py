@@ -105,14 +105,15 @@ class Config:
     data_axis: str = "data"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
-    # Scoped-VMEM budget passed to the TPU compiler for the train/eval
-    # steps (xla_tpu_scoped_vmem_limit_kib), 0 = compiler default. The
+    # Scoped-VMEM budget passed to the TPU compiler for every jitted
+    # step (xla_tpu_scoped_vmem_limit_kib), 0 = compiler default. The
     # ONLY way to carry TPU flags in this environment is PJRT
-    # compiler_options (XLA_FLAGS is rejected by the local client);
-    # measured on the 300² B=128 retina train step: 24576 → 124.4 ms vs
-    # 126.5 default (+1.7% qps), 40960 regresses (BASELINE.md round-3
-    # sweep, tools/sweep_compile_flags.py). Ignored off-TPU.
-    tpu_vmem_kib: int = 0
+    # compiler_options (XLA_FLAGS is rejected by the local client).
+    # Default 24576 after four chip-measured wins and no regression:
+    # train 300² B=128 +1.7%, bf16 serving +3.8%, int8 serving +4.0%,
+    # 600² B=32 serving +4.6% (BASELINE.md round-3 sweeps,
+    # tools/sweep_compile_flags.py). 40960 regresses. Ignored off-TPU.
+    tpu_vmem_kib: int = 24576
     # Pack all pyramid levels into one zero-separated canvas and run the
     # shared head ONCE per conv layer (5× fewer dispatches, ~1.2× padding
     # FLOPs). Exact reparameterization — see models/canvas.py; only takes

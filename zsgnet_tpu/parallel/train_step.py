@@ -36,6 +36,7 @@ from zsgnet_tpu.config import Config
 from zsgnet_tpu.ops import anchors as anchor_ops
 from zsgnet_tpu.ops import losses
 from zsgnet_tpu.train.evaluator import eval_batch
+from zsgnet_tpu.utils.compile import compiler_options_for as _compiler_options
 
 Array = jnp.ndarray
 
@@ -183,21 +184,6 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
         )
 
     return compute_loss
-
-
-def _compiler_options(cfg: Config) -> dict[str, str] | None:
-    """PJRT compiler options for the jitted steps (TPU only).
-
-    ``cfg.tpu_vmem_kib`` → ``xla_tpu_scoped_vmem_limit_kib``; measured
-    +1.7% train qps at 24576 on the 300² B=128 step (BASELINE.md round-3
-    sweep). XLA_FLAGS cannot carry TPU flags here — the local CPU-build
-    client rejects the names — but compiler_options ship with the compile
-    request and reach the TPU compiler (server-verified). Off-TPU the
-    options would fail the CPU compiler, so they are gated out.
-    """
-    if cfg.tpu_vmem_kib and jax.default_backend() == "tpu":
-        return {"xla_tpu_scoped_vmem_limit_kib": str(cfg.tpu_vmem_kib)}
-    return None
 
 
 def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
