@@ -1,0 +1,83 @@
+"""AOT serving export: Grounder → StableHLO artifact → equal results.
+
+The exported artifact must reproduce the live Grounder exactly — same
+weights (baked as constants), same pre/postprocessing (shared helpers).
+Runs in the fast gate: a tiny random-init model, no Learner/checkpoint.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.data.vocab import Vocab
+from zsgnet_tpu.export import ExportedGrounder, export_serving
+from zsgnet_tpu.models.zsgnet import get_default_net
+from zsgnet_tpu.predict import Grounder
+
+
+@pytest.fixture(scope="module")
+def tiny_grounder():
+    cfg = Config(
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, bs=2,
+    )
+    vocab = Vocab.build(["the red box", "a blue ellipse on the left"])
+    model = get_default_net(cfg, vocab_size=len(vocab))
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": np.zeros((2, 64, 64, 3), np.uint8),
+        "qvec": np.ones((2, 8), np.int32),
+        "qlens": np.full((2,), 3, np.int32),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    g = Grounder(cfg, vocab, variables, batch_size=2)
+    imgs = [
+        rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    queries = ["the red box", "a blue ellipse", "box on the left"]
+    return g, imgs, queries
+
+
+def test_export_roundtrip_equals_live(tiny_grounder, tmp_path):
+    g, imgs, queries = tiny_grounder
+    out = export_serving(g, tmp_path / "art", platforms=("cpu",))
+    assert (out / "serving_fn.stablehlo").stat().st_size > 0
+    meta = json.loads((out / "export.json").read_text())
+    assert meta["batch_size"] == 2 and meta["platforms"] == ["cpu"]
+
+    served = ExportedGrounder.load(out)
+    # 3 requests over batch_size=2 → exercises the padded tail chunk too.
+    live = g.ground(imgs, queries)
+    exported = served.ground(imgs, queries)
+    assert len(live) == len(exported) == 3
+    for a, b in zip(live, exported):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        np.testing.assert_allclose(a["box_xyxy"], b["box_xyxy"], atol=1e-4)
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_export_restores_cfg_and_vocab(tiny_grounder, tmp_path):
+    g, _, _ = tiny_grounder
+    out = export_serving(g, tmp_path / "art2", platforms=("cpu",))
+    served = ExportedGrounder.load(out)
+    assert served.cfg.resize_img == g.cfg.resize_img
+    assert served.cfg.max_qlen == g.cfg.max_qlen
+    assert len(served.vocab) == len(g.vocab)
+    assert served.vocab.encode("the red box", 8) == g.vocab.encode("the red box", 8)
+
+
+def test_export_rejects_uncalibrated_int8(tiny_grounder, tmp_path):
+    g, _, _ = tiny_grounder
+    # Rebuild as an int8 Grounder at a throughput batch size but skip
+    # calibration: export must refuse (scales would be garbage constants).
+    cfg = g.cfg.replace(head_canvas=False)
+    gq = Grounder(cfg, g.vocab, dict(g.variables), batch_size=32, quantize=True)
+    assert gq.quantize and "quant" not in gq.variables
+    with pytest.raises(ValueError, match="uncalibrated"):
+        export_serving(gq, tmp_path / "art3", platforms=("cpu",))

@@ -16,6 +16,7 @@ prints the predicted box in original-image pixel coordinates
 from __future__ import annotations
 
 import sys
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -27,6 +28,53 @@ from zsgnet_tpu.data.dataset import _load_image_u8
 from zsgnet_tpu.data.vocab import Vocab
 from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
 from zsgnet_tpu.ops.level_ops import decode_best_box_levels
+
+
+def prep_chunk(cfg: Config, vocab: Vocab, bs: int, images: list, queries: list):
+    """Pad one request chunk to the compiled batch: (imgs u8, qvec, qlens,
+    orig sizes, real count). Shared by ``Grounder`` and the exported-artifact
+    server (``zsgnet_tpu.export``) so both serve byte-identical batches."""
+    h, w = cfg.resize_img
+    k = len(images)
+    imgs = np.zeros((bs, h, w, 3), np.uint8)
+    sizes = np.ones((bs, 2), np.float32)
+    for j, im in enumerate(images):
+        if isinstance(im, np.ndarray):
+            arr = im.astype(np.uint8)
+            if arr.shape[:2] != (h, w):
+                raise ValueError("array inputs must be pre-resized")
+            imgs[j], sizes[j] = arr, (arr.shape[0], arr.shape[1])
+        else:
+            imgs[j], orig_hw = _load_image_u8(Path(im), (h, w))
+            sizes[j] = orig_hw
+    qvec = np.zeros((bs, cfg.max_qlen), np.int32)
+    qlens = np.ones((bs,), np.int32)
+    for j, q in enumerate(queries):
+        ids, ln = vocab.encode(q, cfg.max_qlen)
+        qvec[j], qlens[j] = ids, ln
+    return imgs, qvec, qlens, sizes, k
+
+
+def chunk_results(boxes, scores, sizes, k: int) -> list[dict]:
+    """Decode one padded chunk's device output into per-request dicts
+    (normalized tlbr + original-pixel xyxy + score)."""
+    boxes = np.asarray(boxes)[:k]
+    scores = np.asarray(scores)[:k]
+    out: list[dict] = []
+    for j in range(k):
+        oh, ow = sizes[j]
+        y1, x1, y2, x2 = boxes[j]
+        out.append(
+            {
+                "box_norm": [float(v) for v in boxes[j]],
+                "box_xyxy": [
+                    float((x1 + 1) * ow / 2), float((y1 + 1) * oh / 2),
+                    float((x2 + 1) * ow / 2), float((y2 + 1) * oh / 2),
+                ],
+                "score": float(scores[j]),
+            }
+        )
+    return out
 
 
 class Grounder:
@@ -86,8 +134,8 @@ class Grounder:
         )
         anchor_comps = anchor_components_for(cfg)
         model = self.model
+        from zsgnet_tpu.utils.compile import compiler_options_for
 
-        @jax.jit
         def _infer(variables, img, qvec, qlens):
             out = model.apply(
                 variables, {"img": img, "qvec": qvec, "qlens": qlens}, train=False
@@ -97,7 +145,13 @@ class Grounder:
             )
             return box, jax.nn.sigmoid(score)
 
-        self._infer = _infer
+        # Raw function kept for jax.export (zsgnet_tpu.export): StableHLO
+        # cannot carry compiler_options, so the exporter re-jits this
+        # options-free instead of nesting the tuned jit below.
+        self._infer_fn = _infer
+        self._infer = partial(jax.jit, compiler_options=compiler_options_for(cfg))(
+            _infer
+        )
 
     def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
         """Record per-conv activation scales from one representative batch
@@ -166,48 +220,18 @@ class Grounder:
         n = len(images)
         if n == 0:
             return []
-        h, w = self.cfg.resize_img
         out: list[dict] = []
         for start in range(0, n, self.bs):
-            chunk_i = images[start : start + self.bs]
-            chunk_q = queries[start : start + self.bs]
-            k = len(chunk_i)
-            imgs = np.zeros((self.bs, h, w, 3), np.uint8)
-            sizes = np.ones((self.bs, 2), np.float32)
-            for j, im in enumerate(chunk_i):
-                if isinstance(im, np.ndarray):
-                    arr = im.astype(np.uint8)
-                    if arr.shape[:2] != (h, w):
-                        raise ValueError("array inputs must be pre-resized")
-                    imgs[j], sizes[j] = arr, (arr.shape[0], arr.shape[1])
-                else:
-                    imgs[j], orig_hw = _load_image_u8(Path(im), (h, w))
-                    sizes[j] = orig_hw
-            qvec = np.zeros((self.bs, self.cfg.max_qlen), np.int32)
-            qlens = np.ones((self.bs,), np.int32)
-            for j, q in enumerate(chunk_q):
-                ids, ln = self.vocab.encode(q, self.cfg.max_qlen)
-                qvec[j], qlens[j] = ids, ln
+            imgs, qvec, qlens, sizes, k = prep_chunk(
+                self.cfg, self.vocab, self.bs,
+                images[start : start + self.bs], queries[start : start + self.bs],
+            )
             if self.quantize and "quant" not in self.variables:
                 self.calibrate(imgs, qvec, qlens)
             boxes, scores = self._infer(
                 self.variables, jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
-            boxes = np.asarray(boxes)[:k]
-            scores = np.asarray(scores)[:k]
-            for j in range(k):
-                oh, ow = sizes[j]
-                y1, x1, y2, x2 = boxes[j]
-                out.append(
-                    {
-                        "box_norm": [float(v) for v in boxes[j]],
-                        "box_xyxy": [
-                            float((x1 + 1) * ow / 2), float((y1 + 1) * oh / 2),
-                            float((x2 + 1) * ow / 2), float((y2 + 1) * oh / 2),
-                        ],
-                        "score": float(scores[j]),
-                    }
-                )
+            out.extend(chunk_results(boxes, scores, sizes, k))
         return out
 
 
