@@ -56,6 +56,28 @@ def test_grounder_array_input(trained, rng):
         g.ground([rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8)], ["x"])
 
 
+def test_export_from_checkpoint_e2e(trained, tmp_path):
+    """ckpt dir → export_serving → ExportedGrounder ≡ live Grounder.
+
+    The fast gate covers random-init export roundtrips
+    (tests/test_export.py); this covers the full trained path: sidecar
+    cfg/vocab auto-load, canvas serving head, CPU-platform lowering.
+    """
+    from zsgnet_tpu.export import ExportedGrounder, export_serving
+
+    root, cfg, learn = trained
+    g = Grounder.from_checkpoint(learn.model_dir, batch_size=2)
+    art = export_serving(g, tmp_path / "art", platforms=("cpu",))
+    served = ExportedGrounder.load(art)
+    img = root / "synthetic" / "images" / "train_00000.png"
+    queries = ["the red box", "the blue ellipse", "a thing"]
+    live = g.ground([img] * 3, queries)
+    exported = served.ground([img] * 3, queries)
+    for a, b in zip(live, exported):
+        np.testing.assert_allclose(a["box_xyxy"], b["box_xyxy"], atol=1e-4)
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
 def test_grounder_empty_and_mismatch(trained):
     root, cfg, learn = trained
     vocab_path = root / "synthetic" / "csv_dir" / "vocab.json"
