@@ -80,30 +80,40 @@ def _load_image(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tup
     return arr, (orig_h, orig_w)
 
 
-def _load_image_u8(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
-    """→ (HWC uint8 resized image, original (H, W)) — the
-    normalize-on-device input path (SURVEY.md §3.6 TPU equivalent):
+def load_image_bytes_u8(
+    data: bytes, resize_hw: tuple[int, int]
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """→ (HWC uint8 resized image, original (H, W)) from encoded bytes —
+    the normalize-on-device input path (SURVEY.md §3.6 TPU equivalent):
     the device does (x/255 - mean)/std in its first fused op, so the host
-    skips normalization and ships 4× fewer bytes."""
+    skips normalization and ships 4× fewer bytes. Native PNG/JPEG decode
+    first; PIL fallback for other formats. Also the serving daemon's
+    decode for request-body images (zsgnet_tpu.serve)."""
+    import io
+
     from zsgnet_tpu.data import native
 
-    if path.suffix.lower() in (".png", ".jpg", ".jpeg"):
-        out = native.image_load_u8(path.read_bytes(), resize_hw)
-        if out is not None:
-            return out
+    out = native.image_load_u8(data, resize_hw)
+    if out is not None:
+        return out
 
     from PIL import Image
 
-    with Image.open(path) as im:
+    with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB")
         orig_w, orig_h = im.size
         arr_u8 = np.asarray(im, dtype=np.uint8)
     out2 = native.resize_u8(arr_u8, resize_hw)
     if out2 is not None:
         return out2, (orig_h, orig_w)
-    with Image.open(path) as im:  # pure-PIL fallback
+    with Image.open(io.BytesIO(data)) as im:  # pure-PIL fallback
         im = im.convert("RGB").resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
         return np.asarray(im, dtype=np.uint8), (orig_h, orig_w)
+
+
+def _load_image_u8(path: Path, resize_hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int]]:
+    """Path wrapper over ``load_image_bytes_u8``."""
+    return load_image_bytes_u8(path.read_bytes(), resize_hw)
 
 
 def _parse_box(row: pd.Series) -> np.ndarray:

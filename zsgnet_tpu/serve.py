@@ -1,0 +1,229 @@
+"""Serving daemon — checkpoint or exported artifact behind stdlib HTTP.
+
+The reference has no serving story at all (SURVEY.md §2.13 — inference
+means re-running its eval loop from a live torch process). Production
+TPU serving needs a daemon: load once, accept concurrent requests,
+keep the chip fed with full batches. This one is stdlib-only
+(``http.server``) so it runs anywhere the framework does.
+
+**Micro-batching** is the TPU-shaped part: the compiled program has one
+static batch size, and a request that rode in alone would waste the
+other ``bs - 1`` lanes. Concurrent requests therefore coalesce in a
+queue; the device worker drains up to ``batch_size`` of them (waiting at
+most ``window_ms`` for stragglers after the first arrival) and runs ONE
+program invocation for the whole group. Latency cost is bounded by the
+window; throughput approaches the bench.py batch numbers as concurrency
+rises.
+
+Endpoints (JSON):
+    GET  /healthz → {"ok": true, "batch_size": N, ...}
+    POST /ground  {"query": str, "image_b64": <base64 PNG/JPEG>}
+                  or {"query": str, "image_path": <server-local path>}
+                  or {"requests": [<either form>, ...]}
+      → {"box_xyxy": [x1,y1,x2,y2], "box_norm": [...], "score": s}
+        (original-image pixel coordinates; lists under "results" for
+        the batched form)
+
+CLI:
+    python -m zsgnet_tpu.serve <ckpt_or_artifact_dir> [--port=8500]
+        [--batch_size=8] [--window_ms=5] [--quantize=true] [--key=val ...]
+
+Serving from an exported StableHLO artifact dir (``zsgnet_tpu.export``)
+is auto-detected via its ``export.json``; anything else is treated as a
+checkpoint dir for ``Grounder.from_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import sys
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    image: object          # path str or pre-resized HWC uint8 array
+    query: str
+    orig_hw: tuple | None  # set for decoded-bytes images → rescale output
+    event: threading.Event = field(default_factory=threading.Event)
+    result: dict | None = None
+    error: str | None = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent ground() calls into full device batches."""
+
+    def __init__(self, grounder, window_ms: float = 5.0):
+        self._g = grounder
+        self._window = window_ms / 1000.0
+        self._q: queue.Queue[_Pending] = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image, query: str, orig_hw=None, timeout: float = 60.0) -> dict:
+        item = _Pending(image=image, query=query, orig_hw=orig_hw)
+        self._q.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("grounding timed out")
+        if item.error is not None:
+            raise RuntimeError(item.error)
+        return item.result
+
+    def _worker(self) -> None:
+        import time
+
+        bs = self._g.bs
+        while True:
+            items = [self._q.get()]
+            deadline = time.monotonic() + self._window
+            while len(items) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self._g.ground(
+                    [it.image for it in items], [it.query for it in items]
+                )
+                for it, res in zip(items, results):
+                    if it.orig_hw is not None:
+                        # Array inputs report the resized frame; restore the
+                        # original pixel scale recorded at decode time.
+                        oh, ow = it.orig_hw
+                        y1, x1, y2, x2 = res["box_norm"]
+                        res = {
+                            **res,
+                            "box_xyxy": [
+                                (x1 + 1) * ow / 2, (y1 + 1) * oh / 2,
+                                (x2 + 1) * ow / 2, (y2 + 1) * oh / 2,
+                            ],
+                        }
+                    it.result = res
+            except Exception as e:  # surface to every waiting client
+                for it in items:
+                    it.error = f"{type(e).__name__}: {e}"
+            finally:
+                for it in items:
+                    it.event.set()
+
+
+def load_server_model(model_dir: str | Path, batch_size: int = 8,
+                      quantize: bool = False, cfg_overrides: dict | None = None):
+    """Artifact dir (export.json present) → ExportedGrounder, else
+    checkpoint dir → Grounder. Both expose .ground/.cfg/.vocab/.bs."""
+    d = Path(model_dir)
+    if (d / "export.json").exists():
+        from zsgnet_tpu.export import ExportedGrounder
+
+        return ExportedGrounder.load(d)
+    from zsgnet_tpu.predict import Grounder
+
+    return Grounder.from_checkpoint(
+        d, batch_size=batch_size, quantize=quantize, cfg_overrides=cfg_overrides
+    )
+
+
+def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; .serve_forever() to run,
+    .shutdown() to stop. Tests bind port 0 and drive it from a thread."""
+    batcher = MicroBatcher(grounder, window_ms=window_ms)
+    resize_hw = tuple(grounder.cfg.resize_img)
+
+    def handle_one(req: dict) -> dict:
+        query = req.get("query")
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("missing 'query'")
+        if "image_b64" in req:
+            from zsgnet_tpu.data.dataset import load_image_bytes_u8
+
+            raw = base64.b64decode(req["image_b64"])
+            arr, orig_hw = load_image_bytes_u8(raw, resize_hw)
+            return batcher.submit(arr, query, orig_hw=orig_hw)
+        if "image_path" in req:
+            p = Path(req["image_path"])
+            if not p.is_file():
+                raise ValueError(f"no such image: {p}")
+            return batcher.submit(str(p), query)
+        raise ValueError("need 'image_b64' or 'image_path'")
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True,
+                    "batch_size": grounder.bs,
+                    "resize_img": list(resize_hw),
+                    "window_ms": window_ms,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/ground":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "requests" in req:
+                    self._send(200, {
+                        "results": [handle_one(r) for r in req["requests"]]
+                    })
+                else:
+                    self._send(200, handle_one(req))
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet; the daemon logs via stdout below
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    overrides = dict(
+        a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--") and "=" in a
+    )
+    if len(args) != 1:
+        raise SystemExit(__doc__)
+    port = int(overrides.pop("port", "8500"))
+    bs = int(overrides.pop("batch_size", "8"))
+    window_ms = float(overrides.pop("window_ms", "5"))
+    host = overrides.pop("host", "127.0.0.1")
+    quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
+    g = load_server_model(
+        args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None
+    )
+    srv = make_server(g, port=port, window_ms=window_ms, host=host)
+    print(f"serving {args[0]} on http://{host}:{srv.server_address[1]} "
+          f"(batch_size={g.bs}, window={window_ms}ms)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
