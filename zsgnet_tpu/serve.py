@@ -67,14 +67,22 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, image, query: str, orig_hw=None, timeout: float = 60.0) -> dict:
+    def submit_async(self, image, query: str, orig_hw=None) -> _Pending:
+        """Enqueue without blocking — lets a pre-batched request list land
+        in ONE device batch instead of one micro-batch per item."""
         item = _Pending(image=image, query=query, orig_hw=orig_hw)
         self._q.put(item)
+        return item
+
+    def wait(self, item: _Pending, timeout: float = 60.0) -> dict:
         if not item.event.wait(timeout):
             raise TimeoutError("grounding timed out")
         if item.error is not None:
             raise RuntimeError(item.error)
         return item.result
+
+    def submit(self, image, query: str, orig_hw=None, timeout: float = 60.0) -> dict:
+        return self.wait(self.submit_async(image, query, orig_hw), timeout)
 
     def _worker(self) -> None:
         import time
@@ -140,7 +148,7 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
     batcher = MicroBatcher(grounder, window_ms=window_ms)
     resize_hw = tuple(grounder.cfg.resize_img)
 
-    def handle_one(req: dict) -> dict:
+    def enqueue_one(req: dict) -> _Pending:
         query = req.get("query")
         if not isinstance(query, str) or not query.strip():
             raise ValueError("missing 'query'")
@@ -149,13 +157,16 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
 
             raw = base64.b64decode(req["image_b64"])
             arr, orig_hw = load_image_bytes_u8(raw, resize_hw)
-            return batcher.submit(arr, query, orig_hw=orig_hw)
+            return batcher.submit_async(arr, query, orig_hw=orig_hw)
         if "image_path" in req:
             p = Path(req["image_path"])
             if not p.is_file():
                 raise ValueError(f"no such image: {p}")
-            return batcher.submit(str(p), query)
+            return batcher.submit_async(str(p), query)
         raise ValueError("need 'image_b64' or 'image_path'")
+
+    def handle_one(req: dict) -> dict:
+        return batcher.wait(enqueue_one(req))
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -185,8 +196,11 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if "requests" in req:
+                    # Enqueue ALL before waiting on any — the whole list
+                    # coalesces into as few device batches as possible.
+                    items = [enqueue_one(r) for r in req["requests"]]
                     self._send(200, {
-                        "results": [handle_one(r) for r in req["requests"]]
+                        "results": [batcher.wait(it) for it in items]
                     })
                 else:
                     self._send(200, handle_one(req))
