@@ -100,6 +100,30 @@ def test_batched_form_and_errors(server):
     assert code == 400 and "no such image" in out["error"]
 
 
+def test_serve_from_exported_artifact(server, tmp_path):
+    """load_server_model auto-detects an export.json dir and serves the
+    StableHLO artifact with results equal to the live-checkpoint daemon."""
+    from zsgnet_tpu.export import export_serving
+    from zsgnet_tpu.serve import load_server_model, make_server
+
+    g, url, img_path = server
+    art = export_serving(g, tmp_path / "art", platforms=("cpu",))
+    model = load_server_model(art)
+    srv = make_server(model, port=0, window_ms=5.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        art_url = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, via_art = _post(art_url, {"query": "the red box",
+                                        "image_path": str(img_path)})
+        assert code == 200
+        (direct,) = g.ground([img_path], ["the red box"])
+        np.testing.assert_allclose(via_art["box_xyxy"], direct["box_xyxy"], atol=1e-4)
+        assert abs(via_art["score"] - direct["score"]) < 1e-6
+    finally:
+        srv.shutdown()
+
+
 def test_concurrent_requests_coalesce_correctly(server):
     g, url, img_path = server
     (direct,) = g.ground([img_path], ["the red box"])

@@ -1,0 +1,125 @@
+"""Drive the AOT export path on the real TPU.
+
+CPU tests prove the ("cpu",) lowering; this proves the DEPLOYMENT claim:
+a ("tpu",) StableHLO artifact written by ``export_serving`` executes on
+an actual chip and reproduces the live Grounder. Full 300² retina
+config (the shipped serving architecture).
+
+The model is trained ~40 steps on a synthetic batch first — NOT for
+accuracy, but to make the top-anchor argmax decisive: at random init
+all 17451 anchor scores are near-ties, and the ≈1e-4 bf16 wobble
+between the tuned live jit (scoped-VMEM compiler options) and the
+artifact's untuned compile legitimately flips which box wins (observed:
+Δscore 1.8e-4, box flip). A trained head has decisive margins, so box
+disagreement again means a real export bug.
+
+Usage: timeout 1100 python tools/drive_export_tpu.py [batch_size]
+"""
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+print("devices:", jax.devices())
+assert jax.default_backend() == "tpu", "this drive needs the real chip"
+
+from zsgnet_tpu.config import get_default_cfg
+from zsgnet_tpu.data.vocab import Vocab
+from zsgnet_tpu.export import ExportedGrounder, export_serving
+from zsgnet_tpu.models.zsgnet import get_default_net
+from zsgnet_tpu.predict import Grounder
+
+BS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+cfg = get_default_cfg().replace(bs=BS, do_dist=False)
+vocab = Vocab.build(["a man in a red shirt", "the dog by the blue car door"])
+model = get_default_net(cfg, vocab_size=len(vocab))
+rng = np.random.default_rng(0)
+h, w = cfg.resize_img
+init_batch = {
+    "img": np.zeros((BS, h, w, 3), np.uint8),
+    "qvec": np.ones((BS, cfg.max_qlen), np.int32),
+    "qlens": np.full((BS,), 4, np.int32),
+}
+# ~40 steps on one synthetic batch → decisive argmax margins (see module
+# docstring). Loss must drop or the comparison below is meaningless.
+from zsgnet_tpu.models.zsgnet import anchor_pyramid_for
+from zsgnet_tpu.parallel.train_step import create_train_state, make_train_step
+
+train_batch = {
+    **{k: jax.numpy.asarray(v) for k, v in init_batch.items()},
+    "img": jax.numpy.asarray(
+        rng.integers(0, 255, (BS, h, w, 3)).astype(np.uint8)
+    ),
+    "annot": jax.numpy.asarray(
+        np.stack(
+            [rng.uniform(-0.9, -0.1, (BS, 2)), rng.uniform(0.1, 0.9, (BS, 2))],
+            axis=1,
+        ).reshape(BS, 4).astype(np.float32)
+    ),
+}
+t0 = time.time()
+step = make_train_step(cfg, anchor_pyramid_for(cfg), mesh=None)
+state = create_train_state(cfg, model, train_batch, jax.random.PRNGKey(0))
+loss0 = None
+for i in range(40):
+    state, metrics = step(state, train_batch)
+    if i == 0:
+        loss0 = float(metrics["total"])
+lossN = float(metrics["total"])
+print(f"train 40 steps: {time.time()-t0:.0f}s  loss {loss0:.3f} -> {lossN:.3f}")
+assert lossN < loss0, "training did not reduce loss"
+
+variables = {"params": state.params}
+if state.batch_stats:
+    variables["batch_stats"] = state.batch_stats
+g = Grounder(cfg, vocab, variables, batch_size=BS)
+
+imgs = [rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8) for _ in range(BS)]
+queries = (["a man in a red shirt", "the dog by the blue car"] * BS)[:BS]
+
+t0 = time.time()
+live = g.ground(imgs, queries)
+print(f"live Grounder: {time.time()-t0:.0f}s (compile+run)")
+
+with tempfile.TemporaryDirectory() as td:
+    t0 = time.time()
+    art = export_serving(g, td, platforms=("tpu",))
+    size_mb = (art / "serving_fn.stablehlo").stat().st_size / 1e6
+    print(f"export: {time.time()-t0:.0f}s, artifact {size_mb:.1f} MB")
+    t0 = time.time()
+    served = ExportedGrounder.load(art)
+    exported = served.ground(imgs, queries)
+    print(f"artifact load+serve: {time.time()-t0:.0f}s")
+
+def _iou(a, b):
+    ay1, ax1, ay2, ax2 = a
+    by1, bx1, by2, bx2 = b
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    inter = ih * iw
+    ua = (ay2 - ay1) * (ax2 - ax1) + (by2 - by1) * (bx2 - bx1) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+worst_box = max(
+    float(np.max(np.abs(np.array(a["box_norm"]) - np.array(b["box_norm"]))))
+    for a, b in zip(live, exported)
+)
+worst_score = max(abs(a["score"] - b["score"]) for a, b in zip(live, exported))
+worst_iou = min(_iou(a["box_norm"], b["box_norm"]) for a, b in zip(live, exported))
+print(f"max |Δbox_norm|={worst_box:.2e}  max |Δscore|={worst_score:.2e}  "
+      f"min IoU={worst_iou:.4f}")
+# The live jit (tuned scoped-VMEM compile) and the artifact's untuned
+# compile are DIFFERENT schedules of the same bf16 program; observed
+# deltas are 1-2 bf16 ulps on O(1) values (6e-3 box, 8e-3 score). The
+# claim under test is same-anchor + bf16-close regression: a wrong
+# export misses by O(1) box / near-zero IoU.
+assert worst_box <= 2e-2 and worst_score <= 2e-2 and worst_iou >= 0.95, \
+    "artifact != live Grounder"
+print("OK — TPU StableHLO artifact reproduces the live serving path")
