@@ -72,6 +72,43 @@ def test_export_restores_cfg_and_vocab(tiny_grounder, tmp_path):
     assert served.vocab.encode("the red box", 8) == g.vocab.encode("the red box", 8)
 
 
+def test_export_calibrated_int8_roundtrip(tiny_grounder, tmp_path):
+    """A calibrated int8 Grounder exports with its activation scales baked
+    in (the frozen deployment never recalibrates — export.py docstring).
+
+    Unlike the fp32 roundtrip above, int8 cannot be bit-equal across
+    compilations: the live jit and the AOT artifact fuse the pre-quantize
+    ops differently, and any last-ulp input drift flips ``round(x/scale)``
+    by one quantization level — which at RANDOM init can flip a near-tie
+    argmax to a different anchor (observed on CPU: two samples Δbox
+    ≈ 7e-4, one sample box flip). Assertions follow the convention of
+    ``test_quant.test_full_model_int8_agrees_with_bf16_decode`` (top
+    score close, boxes IoU-majority); the decisive-margin exact check
+    runs on a TRAINED model in ``tools/drive_export_tpu.py``. A missing
+    or garbage 'quant' collection misses by O(1) on every sample."""
+    g, imgs, queries = tiny_grounder
+    cfg = g.cfg.replace(head_canvas=False)
+    gq = Grounder(cfg, g.vocab, dict(g.variables), batch_size=32, quantize=True)
+    live = gq.ground(imgs, queries)  # first batch auto-calibrates
+    assert "quant" in gq.variables
+    out = export_serving(gq, tmp_path / "art_int8", platforms=("cpu",))
+    assert json.loads((out / "export.json").read_text())["quantized"] is True
+
+    served = ExportedGrounder.load(out)
+    exported = served.ground(imgs, queries)
+    ious = []
+    for a, b in zip(live, exported):
+        assert abs(a["score"] - b["score"]) < 5e-3  # max logit is flip-stable
+        ay1, ax1, ay2, ax2 = a["box_norm"]
+        by1, bx1, by2, bx2 = b["box_norm"]
+        ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+        iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+        inter = ih * iw
+        union = (ay2 - ay1) * (ax2 - ax1) + (by2 - by1) * (bx2 - bx1) - inter
+        ious.append(inter / union if union > 0 else 0.0)
+    assert np.mean([i > 0.8 for i in ious]) >= 0.66, f"int8 artifact diverged: {ious}"
+
+
 def test_export_rejects_uncalibrated_int8(tiny_grounder, tmp_path):
     g, _, _ = tiny_grounder
     # Rebuild as an int8 Grounder at a throughput batch size but skip

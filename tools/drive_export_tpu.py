@@ -97,6 +97,30 @@ with tempfile.TemporaryDirectory() as td:
     exported = served.ground(imgs, queries)
     print(f"artifact load+serve: {time.time()-t0:.0f}s")
 
+    # Steady-state live vs artifact (the loader re-applies the tuned
+    # compiler options — BASELINE.md): close each iter with a scalar
+    # fetch (tunnel async under-reports block_until_ready on arrays).
+    # NOTE: each iter pays a ~50 ms tunnel round trip, so these numbers
+    # are RELATIVE only — the claim is "artifact is not slower than
+    # live" (both pay the same RTT), not an absolute latency (that's
+    # tools/bench_infer_ab.py's job, measured 2.78 ms @B=8 canvas).
+    enc = [vocab.encode(q, cfg.max_qlen) for q in queries]
+    dev = {
+        "img": jax.numpy.asarray(np.stack(imgs)),
+        "qvec": jax.numpy.asarray(np.stack([ids for ids, _ in enc]).astype(np.int32)),
+        "qlens": jax.numpy.asarray(np.array([n for _, n in enc], np.int32)),
+    }
+    def _time(fn, iters=30):
+        fn(dev["img"], dev["qvec"], dev["qlens"])  # warm
+        t0 = time.time()
+        for _ in range(iters):
+            _, s = fn(dev["img"], dev["qvec"], dev["qlens"])
+            float(s.sum())
+        return (time.time() - t0) / iters * 1e3
+    live_ms = _time(lambda *a: g._infer(g.variables, *a))
+    art_ms = _time(served._call)
+    print(f"steady-state B={BS}: live {live_ms:.2f} ms  artifact {art_ms:.2f} ms")
+
 def _iou(a, b):
     ay1, ax1, ay2, ax2 = a
     by1, bx1, by2, bx2 = b

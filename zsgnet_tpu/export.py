@@ -21,10 +21,11 @@ so the two paths produce byte-identical batches — equality is tested in
 ``tests/test_export.py``.
 
 Notes:
-- ``compiler_options`` (``cfg.tpu_vmem_kib``) do NOT travel with the
-  artifact: StableHLO is pre-compile, and ``jax.export`` rejects
-  jits carrying compiler options. The loader may re-apply them at
-  execution time by wrapping ``call`` in its own jit.
+- ``compiler_options`` (``cfg.tpu_vmem_kib``) do NOT travel inside the
+  artifact: StableHLO is pre-compile, and ``jax.export`` rejects jits
+  carrying compiler options. ``ExportedGrounder`` re-applies them at
+  load time instead (its outer jit wraps the deserialized module), so
+  artifact serving keeps the tuned scoped-VMEM schedule.
 - int8 artifacts require the Grounder to be calibrated BEFORE export
   (the 'quant' scales become baked constants — serving never
   recalibrates, which is what a frozen deployment wants).
@@ -115,10 +116,19 @@ class ExportedGrounder:
     """
 
     def __init__(self, exported, cfg: Config, vocab: Vocab, batch_size: int):
+        from zsgnet_tpu.utils.compile import compiler_options_for
+
         self.cfg, self.vocab, self.bs = cfg, vocab, batch_size
         # Re-jit the deserialized call so repeat batches hit the
-        # executable cache (and pick the current default device).
-        self._call = jax.jit(exported.call)
+        # executable cache (and pick the current default device). The
+        # tuned compiler options could not travel inside the StableHLO
+        # payload (see export_serving), but they CAN be re-applied at
+        # this outer jit — the compile request wraps the deserialized
+        # module, so artifact serving gets the same scoped-VMEM schedule
+        # as the live Grounder (+3.8–4.6% on chip, BASELINE.md).
+        self._call = jax.jit(
+            exported.call, compiler_options=compiler_options_for(cfg)
+        )
 
     @classmethod
     def load(cls, artifact_dir: str | Path) -> "ExportedGrounder":
