@@ -124,6 +124,24 @@ def test_serve_from_exported_artifact(server, tmp_path):
         srv.shutdown()
 
 
+def test_shape_bucketing_matches_full_batch(server):
+    """A partially-filled chunk padded to a small bucket must ground
+    identically to the same request padded to the full batch (eval-mode
+    BatchNorm uses running stats, so batch size cannot change results)."""
+    g, url, img_path = server
+    assert g.bucket_sizes == (1, 2)
+    single_shape = Grounder(
+        g.cfg, g.vocab, g.variables, batch_size=2, bucket_sizes=(2,)
+    )
+    assert single_shape.bucket_sizes == (2,)
+    (bucketed,) = g.ground([str(img_path)], ["the red box"])
+    (padded,) = single_shape.ground([str(img_path)], ["the red box"])
+    np.testing.assert_allclose(
+        bucketed["box_xyxy"], padded["box_xyxy"], atol=1e-3
+    )
+    assert abs(bucketed["score"] - padded["score"]) < 1e-5
+
+
 def test_concurrent_requests_coalesce_correctly(server):
     g, url, img_path = server
     (direct,) = g.ground([img_path], ["the red box"])

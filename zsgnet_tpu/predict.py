@@ -83,6 +83,7 @@ class Grounder:
     def __init__(
         self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8,
         quantize: bool = False, quant_percentile: float = 0.999,
+        bucket_sizes: tuple[int, ...] | None = None,
     ):
         # Serving default: the canvas-packed head (models/canvas.py) is
         # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
@@ -120,6 +121,18 @@ class Grounder:
         self.vocab = vocab
         self.variables = variables
         self.bs = batch_size
+        # Shape buckets: a partially-filled chunk pads to the SMALLEST
+        # compiled batch that fits instead of always the full bs — a lone
+        # request at bs=32 otherwise ships 32 images' worth of bytes to
+        # ground one (8.6 MB → 270 KB on the 300² config; measured daemon
+        # latency 291 → 123 ms over the 56 MB/s tunnel — BASELINE.md).
+        # Each bucket is one extra jit compile, cached after first use.
+        # bucket_sizes=(batch_size,) restores the single-shape behavior.
+        if bucket_sizes is None:
+            bucket_sizes = tuple(
+                b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b < batch_size
+            )
+        self.bucket_sizes = tuple(sorted({*bucket_sizes, batch_size}))
         self.model = get_default_net(cfg, vocab_size=len(vocab))
         # Calibration clips activation scales at a high |x| quantile —
         # pure-max calibration collapses accuracy on trained nets
@@ -222,8 +235,10 @@ class Grounder:
             return []
         out: list[dict] = []
         for start in range(0, n, self.bs):
+            k_chunk = min(self.bs, n - start)
+            pad_to = next(b for b in self.bucket_sizes if b >= k_chunk)
             imgs, qvec, qlens, sizes, k = prep_chunk(
-                self.cfg, self.vocab, self.bs,
+                self.cfg, self.vocab, pad_to,
                 images[start : start + self.bs], queries[start : start + self.bs],
             )
             if self.quantize and "quant" not in self.variables:

@@ -212,7 +212,13 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
         def log_message(self, *a):  # quiet; the daemon logs via stdout below
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # Default listen backlog (5) resets connections once ~a few dozen
+        # clients connect in the same instant — exactly the burst shape
+        # micro-batching exists for. Size it past any realistic batch.
+        request_queue_size = 1024
+
+    return Server((host, port), Handler)
 
 
 def main() -> None:
