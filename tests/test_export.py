@@ -62,6 +62,30 @@ def test_export_roundtrip_equals_live(tiny_grounder, tmp_path):
         assert abs(a["score"] - b["score"]) < 1e-6
 
 
+def test_bucketed_export_roundtrip(tiny_grounder, tmp_path):
+    """bucket_sizes= exports one module per bucket; the loaded artifact
+    routes each chunk to the smallest fitting bucket (same routing as the
+    live Grounder) and still matches it exactly."""
+    g, imgs, queries = tiny_grounder
+    out = export_serving(
+        g, tmp_path / "artb", platforms=("cpu",), bucket_sizes=g.bucket_sizes
+    )
+    meta = json.loads((out / "export.json").read_text())
+    assert meta["version"] == 2 and meta["bucket_sizes"] == [1, 2]
+    assert (out / "serving_fn_b1.stablehlo").stat().st_size > 0
+    assert (out / "serving_fn_b2.stablehlo").stat().st_size > 0
+    assert not (out / "serving_fn.stablehlo").exists()
+
+    served = ExportedGrounder.load(out)
+    assert served.bucket_sizes == (1, 2)
+    # 3 requests → one full B=2 chunk + one B=1 tail via the small bucket.
+    live = g.ground(imgs, queries)
+    exported = served.ground(imgs, queries)
+    for a, b in zip(live, exported):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
 def test_export_restores_cfg_and_vocab(tiny_grounder, tmp_path):
     g, _, _ = tiny_grounder
     out = export_serving(g, tmp_path / "art2", platforms=("cpu",))

@@ -142,6 +142,64 @@ def test_shape_bucketing_matches_full_batch(server):
     assert abs(bucketed["score"] - padded["score"]) < 1e-5
 
 
+def test_per_bucket_head_selection_is_exact(server):
+    """A throughput Grounder (bs>16, per-level head) serves small buckets
+    through the canvas head — an exact reparam of the same params, so the
+    routed result must match the per-level head padded to the full batch."""
+    g, url, img_path = server
+    base_cfg = g.cfg.replace(head_canvas=False)
+    routed = Grounder(base_cfg, g.vocab, g.variables, batch_size=32)
+    assert routed._infer_latency is not None
+    assert routed.cfg.head_canvas is False  # big buckets stay per-level
+    single_shape = Grounder(
+        base_cfg, g.vocab, g.variables, batch_size=32, bucket_sizes=(32,)
+    )
+    assert single_shape._infer_latency is None
+    (via_canvas,) = routed.ground([str(img_path)], ["the red box"])
+    (via_levels,) = single_shape.ground([str(img_path)], ["the red box"])
+    np.testing.assert_allclose(
+        via_canvas["box_xyxy"], via_levels["box_xyxy"], atol=1e-3
+    )
+    assert abs(via_canvas["score"] - via_levels["score"]) < 1e-4
+
+
+def test_data_parallel_grounding_matches_single_device(server):
+    """Grounder(mesh=…) shards batches over the 8-device CPU mesh with
+    replicated weights; results must equal single-device serving, and the
+    default buckets must stay mesh-divisible."""
+    from zsgnet_tpu.parallel.mesh import make_mesh
+
+    g, url, img_path = server
+    mesh = make_mesh(g.cfg, jax.devices())
+    assert mesh.size == 8
+    dp = Grounder(g.cfg, g.vocab, g.variables, batch_size=16, mesh=mesh)
+    assert dp.bucket_sizes == (8, 16)  # multiples of the mesh size only
+    imgs, queries = [str(img_path)] * 3, ["the red box", "a blue ellipse", "box"]
+    res_dp = dp.ground(imgs, queries)  # 3 requests pad to the 8-bucket
+    res_1 = g.ground(imgs, queries)
+    for a, b in zip(res_dp, res_1):
+        np.testing.assert_allclose(a["box_xyxy"], b["box_xyxy"], atol=1e-3)
+        assert abs(a["score"] - b["score"]) < 1e-4
+
+    with pytest.raises(ValueError, match="divide over"):
+        Grounder(g.cfg, g.vocab, g.variables, batch_size=4, mesh=mesh)
+    with pytest.raises(ValueError, match="divide over"):
+        Grounder(
+            g.cfg, g.vocab, g.variables, batch_size=16, mesh=mesh,
+            bucket_sizes=(2, 16),
+        )
+
+
+def test_data_parallel_rejects_artifact_dir(server, tmp_path):
+    from zsgnet_tpu.export import export_serving
+    from zsgnet_tpu.serve import load_server_model
+
+    g, url, img_path = server
+    art = export_serving(g, tmp_path / "art_dp", platforms=("cpu",))
+    with pytest.raises(ValueError, match="single device"):
+        load_server_model(art, data_parallel=True)
+
+
 def test_concurrent_requests_coalesce_correctly(server):
     g, url, img_path = server
     (direct,) = g.ground([img_path], ["the red box"])

@@ -118,7 +118,7 @@ with tempfile.TemporaryDirectory() as td:
             float(s.sum())
         return (time.time() - t0) / iters * 1e3
     live_ms = _time(lambda *a: g._infer(g.variables, *a))
-    art_ms = _time(served._call)
+    art_ms = _time(served._calls[served.bs])
     print(f"steady-state B={BS}: live {live_ms:.2f} ms  artifact {art_ms:.2f} ms")
 
 def _iou(a, b):

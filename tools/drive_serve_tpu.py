@@ -134,3 +134,35 @@ for n_clients in (8, 2 * BS):
 
 srv.shutdown()
 print("OK — daemon served concurrent HTTP load on the chip")
+
+# Phase 2: bucketed AOT artifact behind the same daemon. Exports one
+# StableHLO module per bucket (weights baked into each), serves it via
+# load_server_model's auto-detect, and measures the same single-client
+# latency loop — the artifact path should keep the bucketing win.
+from zsgnet_tpu.export import export_serving
+from zsgnet_tpu.serve import load_server_model
+
+art_dir = pathlib.Path(tmp) / "artifact"
+t0 = time.time()
+export_serving(g, art_dir, platforms=("tpu",), bucket_sizes=(1, BS))
+n_mb = sum(p.stat().st_size for p in art_dir.glob("serving_fn*.stablehlo")) / 1e6
+print(f"bucketed (1,{BS}) artifact export: {time.time()-t0:.0f}s, {n_mb:.1f} MB")
+
+served = load_server_model(art_dir)
+assert served.bucket_sizes == (1, BS)
+srv2 = make_server(served, port=0, window_ms=10.0)
+threading.Thread(target=srv2.serve_forever, daemon=True).start()
+url = f"http://127.0.0.1:{srv2.server_address[1]}"
+
+t0 = time.time()
+out = _post({"query": "a man in a red shirt", "image_path": paths[0]})
+assert "box_xyxy" in out and np.isfinite(out["score"])
+print(f"artifact first request (compile): {time.time()-t0:.0f}s")
+served.ground((paths * 4)[:BS], ["warm the full bucket"] * BS)
+
+t0 = time.time()
+for i in range(N_LAT):
+    _post({"query": "the dog by the blue car", "image_path": paths[i % 16]})
+print(f"artifact single-client latency: {(time.time()-t0)/N_LAT*1e3:.1f} ms/request")
+srv2.shutdown()
+print("OK — bucketed artifact served over HTTP on the chip")

@@ -15,6 +15,11 @@ Artifact directory layout::
     export.json            cfg dict + batch size + platforms + version
     vocab.json             query tokenizer (same format as ckpt sidecar)
 
+Bucketed artifacts (``bucket_sizes=``, version 2) instead carry one
+``serving_fn_b{N}.stablehlo`` per batch bucket — the loaded artifact
+routes each chunk to the smallest fitting bucket exactly like the live
+``Grounder``, at the cost of weights duplicated into every module.
+
 ``ExportedGrounder.load(dir)`` then serves with the same pre/post
 processing as the live ``Grounder`` (shared helpers in ``predict.py``),
 so the two paths produce byte-identical batches — equality is tested in
@@ -32,7 +37,13 @@ Notes:
 
 CLI:
     python -m zsgnet_tpu.export <ckpt_dir> <out_dir> [--batch_size=8]
-        [--platforms=tpu,cpu] [--quantize=true] [--key=val ...]
+        [--platforms=tpu,cpu] [--quantize=true] [--bucket_sizes=1,4,8]
+        [--key=val ...]
+
+``--bucket_sizes`` exports one module per batch bucket (artifact grows
+≈ len(buckets)× — weights bake into every module) so the serving daemon
+can route partial batches to small compiled shapes, exactly like the
+live Grounder's shape buckets.
 """
 
 from __future__ import annotations
@@ -49,11 +60,15 @@ from zsgnet_tpu.config import Config
 from zsgnet_tpu.data.vocab import Vocab
 from zsgnet_tpu.predict import Grounder, chunk_results, prep_chunk
 
-_ARTIFACT_VERSION = 1
+_ARTIFACT_VERSION = 1   # single-shape artifact: serving_fn.stablehlo
+_BUCKETED_VERSION = 2   # + bucket_sizes: serving_fn_b{N}.stablehlo per bucket
 
 
 def export_serving(
-    grounder: Grounder, out_dir: str | Path, platforms: tuple[str, ...] = ("tpu",)
+    grounder: Grounder,
+    out_dir: str | Path,
+    platforms: tuple[str, ...] = ("tpu",),
+    bucket_sizes: tuple[int, ...] | None = None,
 ) -> Path:
     """Serialize ``grounder``'s jitted serving function with weights baked in.
 
@@ -61,6 +76,14 @@ def export_serving(
     target ("tpu", "cpu", "cuda") — a ("tpu", "cpu") artifact runs on
     either; the dev-box CPU path is also how tests cover this without a
     chip.
+
+    ``bucket_sizes`` (opt-in) exports one module PER batch bucket so the
+    artifact can serve partial batches without padding to the full size —
+    the same latency win the live ``Grounder`` buckets give (291→123 ms
+    measured, BASELINE.md). Buckets mirror live routing: sizes ≤ 16 use
+    the canvas latency head when the Grounder has one. Cost: weights are
+    baked into EVERY module, so the artifact grows ≈ len(buckets)×.
+    Pass ``grounder.bucket_sizes`` to match the live daemon exactly.
     """
     from jax import export as jex
 
@@ -73,35 +96,46 @@ def export_serving(
     cfg, bs = grounder.cfg, grounder.bs
     h, w = cfg.resize_img
     variables = jax.device_get(grounder.variables)  # host copy → constants
-    infer = grounder._infer_fn  # raw (unjitted) — see Grounder.__init__
 
-    # Weights close over the traced function and serialize as constants.
-    # A fresh options-free jit: StableHLO cannot represent the tuned
-    # compiler_options that grounder._infer carries on TPU.
-    fn = jax.jit(lambda img, qvec, qlens: infer(variables, img, qvec, qlens))
-    args = (
-        jax.ShapeDtypeStruct((bs, h, w, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((bs, cfg.max_qlen), jnp.int32),
-        jax.ShapeDtypeStruct((bs,), jnp.int32),
-    )
-    exported = jex.export(fn, platforms=platforms)(*args)
+    def _export_one(raw_infer, b: int):
+        # Weights close over the traced function and serialize as
+        # constants. A fresh options-free jit: StableHLO cannot represent
+        # the tuned compiler_options that grounder._infer carries on TPU.
+        fn = jax.jit(lambda img, qvec, qlens: raw_infer(variables, img, qvec, qlens))
+        args = (
+            jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((b, cfg.max_qlen), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        )
+        return jex.export(fn, platforms=platforms)(*args)
+
+    def _infer_for(b: int):
+        from zsgnet_tpu.predict import LATENCY_BATCH_MAX
+
+        if grounder._infer_latency_fn is not None and b <= LATENCY_BATCH_MAX:
+            return grounder._infer_latency_fn
+        return grounder._infer_fn
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "serving_fn.stablehlo").write_bytes(exported.serialize())
-    (out / "export.json").write_text(
-        json.dumps(
-            {
-                "version": _ARTIFACT_VERSION,
-                "cfg": cfg.to_dict(),
-                "batch_size": bs,
-                "platforms": list(platforms),
-                "quantized": bool(grounder.quantize),
-            },
-            indent=2,
-            default=list,
-        )
-    )
+    meta = {
+        "version": _ARTIFACT_VERSION,
+        "cfg": cfg.to_dict(),
+        "batch_size": bs,
+        "platforms": list(platforms),
+        "quantized": bool(grounder.quantize),
+    }
+    if bucket_sizes is None:
+        exported = _export_one(grounder._infer_fn, bs)
+        (out / "serving_fn.stablehlo").write_bytes(exported.serialize())
+    else:
+        buckets = tuple(sorted({*(int(b) for b in bucket_sizes), bs}))
+        meta["version"] = _BUCKETED_VERSION
+        meta["bucket_sizes"] = list(buckets)
+        for b in buckets:
+            exported = _export_one(_infer_for(b), b)
+            (out / f"serving_fn_b{b}.stablehlo").write_bytes(exported.serialize())
+    (out / "export.json").write_text(json.dumps(meta, indent=2, default=list))
     grounder.vocab.save(out / "vocab.json")
     return out
 
@@ -115,44 +149,60 @@ class ExportedGrounder:
     exactly (tests/test_export.py asserts equality).
     """
 
-    def __init__(self, exported, cfg: Config, vocab: Vocab, batch_size: int):
+    def __init__(self, calls: dict, cfg: Config, vocab: Vocab, batch_size: int):
+        # ``calls`` maps compiled batch size → jitted call; single-shape
+        # artifacts have one entry {batch_size: call}, bucketed artifacts
+        # one per bucket (smallest fitting bucket serves each chunk, the
+        # same routing as the live Grounder).
+        self.cfg, self.vocab, self.bs = cfg, vocab, batch_size
+        self.bucket_sizes = tuple(sorted(calls))
+        self._calls = calls
+
+    @classmethod
+    def load(cls, artifact_dir: str | Path) -> "ExportedGrounder":
+        from jax import export as jex
+
         from zsgnet_tpu.utils.compile import compiler_options_for
 
-        self.cfg, self.vocab, self.bs = cfg, vocab, batch_size
-        # Re-jit the deserialized call so repeat batches hit the
+        d = Path(artifact_dir)
+        meta = json.loads((d / "export.json").read_text())
+        if meta["version"] not in (_ARTIFACT_VERSION, _BUCKETED_VERSION):
+            raise ValueError(f"unsupported artifact version {meta['version']}")
+        cfg = Config().replace(**meta["cfg"])
+
+        # Re-jit each deserialized call so repeat batches hit the
         # executable cache (and pick the current default device). The
         # tuned compiler options could not travel inside the StableHLO
         # payload (see export_serving), but they CAN be re-applied at
         # this outer jit — the compile request wraps the deserialized
         # module, so artifact serving gets the same scoped-VMEM schedule
         # as the live Grounder (+3.8–4.6% on chip, BASELINE.md).
-        self._call = jax.jit(
-            exported.call, compiler_options=compiler_options_for(cfg)
-        )
+        def _load_call(path: Path):
+            exported = jex.deserialize(path.read_bytes())
+            return jax.jit(exported.call, compiler_options=compiler_options_for(cfg))
 
-    @classmethod
-    def load(cls, artifact_dir: str | Path) -> "ExportedGrounder":
-        from jax import export as jex
-
-        d = Path(artifact_dir)
-        meta = json.loads((d / "export.json").read_text())
-        if meta["version"] != _ARTIFACT_VERSION:
-            raise ValueError(f"unsupported artifact version {meta['version']}")
-        exported = jex.deserialize((d / "serving_fn.stablehlo").read_bytes())
-        cfg = Config().replace(**meta["cfg"])
+        if meta["version"] == _BUCKETED_VERSION:
+            calls = {
+                b: _load_call(d / f"serving_fn_b{b}.stablehlo")
+                for b in meta["bucket_sizes"]
+            }
+        else:
+            calls = {meta["batch_size"]: _load_call(d / "serving_fn.stablehlo")}
         vocab = Vocab.load(d / "vocab.json")
-        return cls(exported, cfg, vocab, meta["batch_size"])
+        return cls(calls, cfg, vocab, meta["batch_size"])
 
     def ground(self, images: list, queries: list) -> list[dict]:
         if len(images) != len(queries):
             raise ValueError("images and queries must pair up")
         out: list[dict] = []
         for start in range(0, len(images), self.bs):
+            k_chunk = min(self.bs, len(images) - start)
+            pad_to = next(b for b in self.bucket_sizes if b >= k_chunk)
             imgs, qvec, qlens, sizes, k = prep_chunk(
-                self.cfg, self.vocab, self.bs,
+                self.cfg, self.vocab, pad_to,
                 images[start : start + self.bs], queries[start : start + self.bs],
             )
-            boxes, scores = self._call(
+            boxes, scores = self._calls[pad_to](
                 jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
             out.extend(chunk_results(boxes, scores, sizes, k))
@@ -168,6 +218,10 @@ def main() -> None:
         raise SystemExit(__doc__)
     ckpt_dir, out_dir = args
     bs = int(overrides.pop("batch_size", "8"))
+    buckets = overrides.pop("bucket_sizes", None)
+    bucket_sizes = (
+        tuple(int(b) for b in buckets.split(",")) if buckets else None
+    )
     platforms = tuple(overrides.pop("platforms", "tpu").split(","))
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     vocab_path = overrides.pop("vocab", None)
@@ -180,8 +234,8 @@ def main() -> None:
             "--quantize export needs calibration data; serve one batch via "
             "Grounder.ground()/calibrate() programmatically, then export_serving()"
         )
-    path = export_serving(g, out_dir, platforms=platforms)
-    n = (path / "serving_fn.stablehlo").stat().st_size
+    path = export_serving(g, out_dir, platforms=platforms, bucket_sizes=bucket_sizes)
+    n = sum(p.stat().st_size for p in path.glob("serving_fn*.stablehlo"))
     print(f"exported {platforms} serving artifact → {path} ({n/1e6:.1f} MB)")
 
 

@@ -29,6 +29,11 @@ from zsgnet_tpu.data.vocab import Vocab
 from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
 from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 
+# Measured crossover between the two exact head parameterizations
+# (BASELINE.md canvas A/B): below this batch the packed canvas head wins
+# (B=1: 5.6→1.9 ms), above it the per-level head (+ int8) wins.
+LATENCY_BATCH_MAX = 16
+
 
 def prep_chunk(cfg: Config, vocab: Vocab, bs: int, images: list, queries: list):
     """Pad one request chunk to the compiled batch: (imgs u8, qvec, qlens,
@@ -84,12 +89,20 @@ class Grounder:
         self, cfg: Config, vocab: Vocab, variables: dict, batch_size: int = 8,
         quantize: bool = False, quant_percentile: float = 0.999,
         bucket_sizes: tuple[int, ...] | None = None,
+        mesh: "jax.sharding.Mesh | None" = None,
     ):
+        # Data-parallel serving: with a 1-D mesh (parallel.make_mesh),
+        # weights replicate and every batch splits over its leading axis —
+        # eval has no cross-batch ops (BN uses running stats), so XLA
+        # partitions the whole forward with zero collectives and
+        # throughput scales ≈ linearly with chips. Buckets are kept to
+        # multiples of the mesh size so every shard stays static-shaped.
+        self._mesh = mesh
         # Serving default: the canvas-packed head (models/canvas.py) is
         # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
         # v5e; BASELINE.md), while the per-level head wins at throughput
         # batches. Exact reparam, identical params — pick by batch size.
-        if batch_size <= 16 and cfg.use_same_atb:
+        if batch_size <= LATENCY_BATCH_MAX and cfg.use_same_atb:
             cfg = cfg.replace(head_canvas=True)
         # int8 serving (models/quant.py): calibrates activation scales on
         # the FIRST ground() batch (or an explicit .calibrate() call),
@@ -128,9 +141,20 @@ class Grounder:
         # latency 291 → 123 ms over the 56 MB/s tunnel — BASELINE.md).
         # Each bucket is one extra jit compile, cached after first use.
         # bucket_sizes=(batch_size,) restores the single-shape behavior.
+        n_shard = mesh.size if mesh is not None else 1
+        if batch_size % n_shard:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over the {n_shard}-device mesh"
+            )
         if bucket_sizes is None:
             bucket_sizes = tuple(
-                b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b < batch_size
+                b for b in (1, 2, 4, 8, 16, 32, 64, 128)
+                if b < batch_size and b % n_shard == 0
+            )
+        elif any(b % n_shard for b in bucket_sizes):
+            raise ValueError(
+                f"bucket_sizes {bucket_sizes} must all divide over the "
+                f"{n_shard}-device mesh"
             )
         self.bucket_sizes = tuple(sorted({*bucket_sizes, batch_size}))
         self.model = get_default_net(cfg, vocab_size=len(vocab))
@@ -146,25 +170,57 @@ class Grounder:
             else None
         )
         anchor_comps = anchor_components_for(cfg)
-        model = self.model
         from zsgnet_tpu.utils.compile import compiler_options_for
 
-        def _infer(variables, img, qvec, qlens):
-            out = model.apply(
-                variables, {"img": img, "qvec": qvec, "qlens": qlens}, train=False
-            )
-            box, score = decode_best_box_levels(
-                out["att_levels"], out["delta_levels"], anchor_comps
-            )
-            return box, jax.nn.sigmoid(score)
+        def _make_infer(model):
+            def _infer(variables, img, qvec, qlens):
+                out = model.apply(
+                    variables, {"img": img, "qvec": qvec, "qlens": qlens}, train=False
+                )
+                box, score = decode_best_box_levels(
+                    out["att_levels"], out["delta_levels"], anchor_comps
+                )
+                return box, jax.nn.sigmoid(score)
+
+            return _infer
 
         # Raw function kept for jax.export (zsgnet_tpu.export): StableHLO
         # cannot carry compiler_options, so the exporter re-jits this
         # options-free instead of nesting the tuned jit below.
-        self._infer_fn = _infer
-        self._infer = partial(jax.jit, compiler_options=compiler_options_for(cfg))(
-            _infer
-        )
+        self._infer_fn = _make_infer(self.model)
+        jit_kw: dict = {"compiler_options": compiler_options_for(cfg)}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            rep = NamedSharding(mesh, P())
+            jit_kw["in_shardings"] = (rep, batch_sh, batch_sh, batch_sh)
+            jit_kw["out_shardings"] = (batch_sh, batch_sh)
+        jit_opts = partial(jax.jit, **jit_kw)
+        self._infer = jit_opts(self._infer_fn)
+        # Per-bucket head selection: a throughput Grounder (bs > 16) still
+        # serves its small buckets through the canvas head — the same
+        # exact reparam the latency mode uses (same params, 2.9× at B=1).
+        # Large buckets keep the per-level head. Quantized Grounders are
+        # excluded: canvas would have to serve bf16 (int8 canvas is both
+        # slower and the one-head-scale accuracy trap), and an int8 daemon
+        # whose answers change with instantaneous load is worse than the
+        # few ms the canvas saves — int8 serves every bucket per-level.
+        # The bucket compile count is unchanged; only the graph per small
+        # bucket differs.
+        self._latency_model = None
+        self._infer_latency_fn = None
+        self._infer_latency = None
+        if (
+            cfg.use_same_atb
+            and not cfg.head_canvas
+            and not self.quantize
+            and min(self.bucket_sizes) <= LATENCY_BATCH_MAX
+        ):
+            lat_cfg = cfg.replace(head_canvas=True, quant_mode="off")
+            self._latency_model = get_default_net(lat_cfg, vocab_size=len(vocab))
+            self._infer_latency_fn = _make_infer(self._latency_model)
+            self._infer_latency = jit_opts(self._infer_latency_fn)
 
     def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
         """Record per-conv activation scales from one representative batch
@@ -181,6 +237,7 @@ class Grounder:
         cls, ckpt_dir: str | Path, vocab_path: str | Path | None = None,
         cfg: Config | None = None, batch_size: int = 8, quantize: bool = False,
         cfg_overrides: dict | None = None,
+        mesh: "jax.sharding.Mesh | None" = None,
     ) -> "Grounder":
         """Serve from a bare checkpoint directory.
 
@@ -220,7 +277,7 @@ class Grounder:
         variables = {"params": restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
-        return cls(cfg, vocab, variables, batch_size, quantize=quantize)
+        return cls(cfg, vocab, variables, batch_size, quantize=quantize, mesh=mesh)
 
     def ground(
         self, images: list[str | Path | np.ndarray], queries: list[str]
@@ -243,7 +300,12 @@ class Grounder:
             )
             if self.quantize and "quant" not in self.variables:
                 self.calibrate(imgs, qvec, qlens)
-            boxes, scores = self._infer(
+            infer = (
+                self._infer_latency
+                if self._infer_latency is not None and pad_to <= LATENCY_BATCH_MAX
+                else self._infer
+            )
+            boxes, scores = infer(
                 self.variables, jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
             out.extend(chunk_results(boxes, scores, sizes, k))

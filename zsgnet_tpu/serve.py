@@ -26,7 +26,11 @@ Endpoints (JSON):
 
 CLI:
     python -m zsgnet_tpu.serve <ckpt_or_artifact_dir> [--port=8500]
-        [--batch_size=8] [--window_ms=5] [--quantize=true] [--key=val ...]
+        [--batch_size=8] [--window_ms=5] [--quantize=true]
+        [--data_parallel=true] [--key=val ...]
+
+``--data_parallel`` shards each device batch over all local chips
+(checkpoint serving only; throughput scales ≈ linearly with chips).
 
 Serving from an exported StableHLO artifact dir (``zsgnet_tpu.export``)
 is auto-detected via its ``export.json``; anything else is treated as a
@@ -74,14 +78,22 @@ class MicroBatcher:
         self._q.put(item)
         return item
 
-    def wait(self, item: _Pending, timeout: float = 60.0) -> dict:
+    # Generous default: the FIRST request per shape bucket legitimately
+    # sits behind a cold XLA compile (tens of seconds to minutes over a
+    # remote-compiler tunnel) — a 60 s timeout here turned warm-up
+    # requests into 500s while the compile kept running (measured on the
+    # chip drive). Steady state answers in milliseconds either way.
+    DEFAULT_TIMEOUT = 900.0
+
+    def wait(self, item: _Pending, timeout: float = DEFAULT_TIMEOUT) -> dict:
         if not item.event.wait(timeout):
             raise TimeoutError("grounding timed out")
         if item.error is not None:
             raise RuntimeError(item.error)
         return item.result
 
-    def submit(self, image, query: str, orig_hw=None, timeout: float = 60.0) -> dict:
+    def submit(self, image, query: str, orig_hw=None,
+               timeout: float = DEFAULT_TIMEOUT) -> dict:
         return self.wait(self.submit_async(image, query, orig_hw), timeout)
 
     def _worker(self) -> None:
@@ -126,18 +138,38 @@ class MicroBatcher:
 
 
 def load_server_model(model_dir: str | Path, batch_size: int = 8,
-                      quantize: bool = False, cfg_overrides: dict | None = None):
+                      quantize: bool = False, cfg_overrides: dict | None = None,
+                      data_parallel: bool = False):
     """Artifact dir (export.json present) → ExportedGrounder, else
-    checkpoint dir → Grounder. Both expose .ground/.cfg/.vocab/.bs."""
+    checkpoint dir → Grounder. Both expose .ground/.cfg/.vocab/.bs.
+
+    ``data_parallel`` shards every device batch over ALL local chips
+    (1-D mesh, weights replicated — see ``Grounder(mesh=...)``); serving
+    throughput then scales ≈ linearly with chip count. Checkpoint
+    serving only: exported artifacts are lowered for one device."""
     d = Path(model_dir)
     if (d / "export.json").exists():
+        if data_parallel:
+            raise ValueError(
+                "data_parallel serving needs a checkpoint dir — exported "
+                "StableHLO artifacts are lowered for a single device"
+            )
         from zsgnet_tpu.export import ExportedGrounder
 
         return ExportedGrounder.load(d)
     from zsgnet_tpu.predict import Grounder
 
+    mesh = None
+    if data_parallel:
+        import jax
+
+        from zsgnet_tpu.config import get_default_cfg
+        from zsgnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(get_default_cfg(), jax.devices())
     return Grounder.from_checkpoint(
-        d, batch_size=batch_size, quantize=quantize, cfg_overrides=cfg_overrides
+        d, batch_size=batch_size, quantize=quantize, cfg_overrides=cfg_overrides,
+        mesh=mesh,
     )
 
 
@@ -233,8 +265,10 @@ def main() -> None:
     window_ms = float(overrides.pop("window_ms", "5"))
     host = overrides.pop("host", "127.0.0.1")
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
+    dp = overrides.pop("data_parallel", "false").lower() in ("1", "true", "yes")
     g = load_server_model(
-        args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None
+        args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None,
+        data_parallel=dp,
     )
     srv = make_server(g, port=port, window_ms=window_ms, host=host)
     print(f"serving {args[0]} on http://{host}:{srv.server_address[1]} "
