@@ -124,6 +124,32 @@ def test_serve_from_exported_artifact(server, tmp_path):
         srv.shutdown()
 
 
+def test_warmup_compiles_buckets(server):
+    g, url, img_path = server
+    g.warmup()  # compiles (1, 2); must not change later results
+    (res,) = g.ground([str(img_path)], ["the red box"])
+    assert np.isfinite(res["score"])
+    # Uncalibrated int8 must NOT calibrate on warmup zeros.
+    gq = Grounder(
+        g.cfg.replace(head_canvas=False), g.vocab, dict(g.variables),
+        batch_size=32, quantize=True,
+    )
+    gq.warmup()
+    assert "quant" not in gq.variables
+
+
+def test_statz_counters(server):
+    g, url, img_path = server
+    code, _ = _post(url, {"query": "the red box", "image_path": str(img_path)})
+    assert code == 200
+    with urllib.request.urlopen(url + "/statz", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 1 and s["batches"] >= 1
+    assert 0 < s["mean_batch_fill"] <= g.bs
+    assert s["latency"]["p50_ms"] > 0 and s["latency"]["p95_ms"] >= s["latency"]["p50_ms"]
+    assert s["uptime_s"] > 0 and s["batch_size"] == g.bs
+
+
 def test_shape_bucketing_matches_full_batch(server):
     """A partially-filled chunk padded to a small bucket must ground
     identically to the same request padded to the full batch (eval-mode

@@ -191,10 +191,23 @@ class ExportedGrounder:
         vocab = Vocab.load(d / "vocab.json")
         return cls(calls, cfg, vocab, meta["batch_size"])
 
+    def warmup(self) -> None:
+        """Compile every bucket module now (see ``Grounder.warmup``)."""
+        h, w = self.cfg.resize_img
+        zero = np.zeros((h, w, 3), np.uint8)
+        for b in self.bucket_sizes:
+            self.ground([zero] * b, ["warm up"] * b)
+
     def ground(self, images: list, queries: list) -> list[dict]:
         if len(images) != len(queries):
             raise ValueError("images and queries must pair up")
+        from collections import deque
+
+        # Same depth-2 host/device pipeline as Grounder.ground — defer the
+        # blocking readback so the next chunk's host prep overlaps the
+        # device execution of this one.
         out: list[dict] = []
+        in_flight: deque = deque()
         for start in range(0, len(images), self.bs):
             k_chunk = min(self.bs, len(images) - start)
             pad_to = next(b for b in self.bucket_sizes if b >= k_chunk)
@@ -205,7 +218,11 @@ class ExportedGrounder:
             boxes, scores = self._calls[pad_to](
                 jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
-            out.extend(chunk_results(boxes, scores, sizes, k))
+            in_flight.append((boxes, scores, sizes, k))
+            if len(in_flight) > 2:
+                out.extend(chunk_results(*in_flight.popleft()))
+        while in_flight:
+            out.extend(chunk_results(*in_flight.popleft()))
         return out
 
 

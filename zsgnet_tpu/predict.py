@@ -222,6 +222,24 @@ class Grounder:
             self._infer_latency_fn = _make_infer(self._latency_model)
             self._infer_latency = jit_opts(self._infer_latency_fn)
 
+    def warmup(self) -> None:
+        """Compile every shape bucket now instead of on first use — cold
+        compiles run seconds to minutes (remote-compiler tunnels), and a
+        daemon that lazily compiles turns its first request per bucket
+        into a latency cliff. Quantized Grounders must be calibrated
+        first: grounding zeros would bake garbage activation scales, so
+        an uncalibrated int8 Grounder skips (and says so)."""
+        if self.quantize and "quant" not in self.variables:
+            print(
+                "Grounder.warmup: skipped — int8 serving calibrates on the "
+                "first REAL batch; warm up after .calibrate()/.ground()"
+            )
+            return
+        h, w = self.cfg.resize_img
+        zero = np.zeros((h, w, 3), np.uint8)
+        for b in self.bucket_sizes:
+            self.ground([zero] * b, ["warm up"] * b)
+
     def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
         """Record per-conv activation scales from one representative batch
         (running |max| into the 'quant' collection)."""
@@ -290,7 +308,15 @@ class Grounder:
         n = len(images)
         if n == 0:
             return []
+        # Host/device pipeline: jax dispatch is async, and the blocking
+        # point is the np.asarray readback in chunk_results — deferring it
+        # behind a small window lets chunk i+1's host prep (image decode,
+        # padding) overlap chunk i's device execution. Depth 2 bounds the
+        # in-flight padded inputs (~2 full batches of HBM + host bytes).
+        from collections import deque
+
         out: list[dict] = []
+        in_flight: deque = deque()
         for start in range(0, n, self.bs):
             k_chunk = min(self.bs, n - start)
             pad_to = next(b for b in self.bucket_sizes if b >= k_chunk)
@@ -308,7 +334,11 @@ class Grounder:
             boxes, scores = infer(
                 self.variables, jnp.asarray(imgs), jnp.asarray(qvec), jnp.asarray(qlens)
             )
-            out.extend(chunk_results(boxes, scores, sizes, k))
+            in_flight.append((boxes, scores, sizes, k))
+            if len(in_flight) > 2:
+                out.extend(chunk_results(*in_flight.popleft()))
+        while in_flight:
+            out.extend(chunk_results(*in_flight.popleft()))
         return out
 
 

@@ -17,6 +17,9 @@ rises.
 
 Endpoints (JSON):
     GET  /healthz → {"ok": true, "batch_size": N, ...}
+    GET  /statz   → serving counters: requests/batches/errors totals,
+                    mean micro-batch fill, recent p50/p95/max latency,
+                    uptime — what a fleet scheduler scrapes
     POST /ground  {"query": str, "image_b64": <base64 PNG/JPEG>}
                   or {"query": str, "image_path": <server-local path>}
                   or {"requests": [<either form>, ...]}
@@ -27,7 +30,11 @@ Endpoints (JSON):
 CLI:
     python -m zsgnet_tpu.serve <ckpt_or_artifact_dir> [--port=8500]
         [--batch_size=8] [--window_ms=5] [--quantize=true]
-        [--data_parallel=true] [--key=val ...]
+        [--data_parallel=true] [--warmup=false] [--key=val ...]
+
+``--warmup`` (default true) compiles every shape bucket before the
+daemon starts taking requests — otherwise the first request per bucket
+pays a cold compile (seconds to minutes).
 
 ``--data_parallel`` shards each device batch over all local chips
 (checkpoint serving only; throughput scales ≈ linearly with chips).
@@ -40,6 +47,7 @@ checkpoint dir for ``Grounder.from_checkpoint``.
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import queue
 import sys
@@ -59,24 +67,70 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: dict | None = None
     error: str | None = None
+    t_submit: float = 0.0  # monotonic enqueue time → /statz latency
 
 
 class MicroBatcher:
     """Coalesce concurrent ground() calls into full device batches."""
 
     def __init__(self, grounder, window_ms: float = 5.0):
+        import time
+
         self._g = grounder
         self._window = window_ms / 1000.0
         self._q: queue.Queue[_Pending] = queue.Queue()
+        # Observability counters (/statz). Mutated only under _stats_lock;
+        # latencies are a bounded ring so percentiles track recent load.
+        self._stats_lock = threading.Lock()
+        self._t_start = time.monotonic()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        self._fill_sum = 0
+        self._latencies = collections.deque(maxlen=512)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit_async(self, image, query: str, orig_hw=None) -> _Pending:
         """Enqueue without blocking — lets a pre-batched request list land
         in ONE device batch instead of one micro-batch per item."""
-        item = _Pending(image=image, query=query, orig_hw=orig_hw)
+        import time
+
+        item = _Pending(
+            image=image, query=query, orig_hw=orig_hw, t_submit=time.monotonic()
+        )
+        with self._stats_lock:
+            self._n_requests += 1
         self._q.put(item)
         return item
+
+    def stats(self) -> dict:
+        """Serving counters for /statz — recent-window latency percentiles,
+        mean micro-batch fill (how full the device batches ride), totals."""
+        import time
+
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            n_req, n_bat = self._n_requests, self._n_batches
+            n_err, fill = self._n_errors, self._fill_sum
+        pct = (
+            {
+                "p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+                "p95_ms": round(lat[int(len(lat) * 0.95)] * 1e3, 2),
+                "max_ms": round(lat[-1] * 1e3, 2),
+            }
+            if lat
+            else {}
+        )
+        return {
+            "requests": n_req,
+            "batches": n_bat,
+            "errors": n_err,
+            "mean_batch_fill": round(fill / n_bat, 3) if n_bat else None,
+            "batch_size": self._g.bs,
+            "latency": pct,
+            "uptime_s": round(time.monotonic() - self._t_start, 1),
+        }
 
     # Generous default: the FIRST request per shape bucket legitimately
     # sits behind a cold XLA compile (tens of seconds to minutes over a
@@ -133,6 +187,12 @@ class MicroBatcher:
                 for it in items:
                     it.error = f"{type(e).__name__}: {e}"
             finally:
+                now = time.monotonic()
+                with self._stats_lock:
+                    self._n_batches += 1
+                    self._fill_sum += len(items)
+                    self._n_errors += sum(1 for it in items if it.error)
+                    self._latencies.extend(now - it.t_submit for it in items)
                 for it in items:
                     it.event.set()
 
@@ -217,6 +277,8 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
                     "resize_img": list(resize_hw),
                     "window_ms": window_ms,
                 })
+            elif self.path == "/statz":
+                self._send(200, batcher.stats())
             else:
                 self._send(404, {"error": "not found"})
 
@@ -266,10 +328,18 @@ def main() -> None:
     host = overrides.pop("host", "127.0.0.1")
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     dp = overrides.pop("data_parallel", "false").lower() in ("1", "true", "yes")
+    warm = overrides.pop("warmup", "true").lower() in ("1", "true", "yes")
     g = load_server_model(
         args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None,
         data_parallel=dp,
     )
+    if warm:
+        import time
+
+        t0 = time.time()
+        print(f"warming buckets {g.bucket_sizes} …", flush=True)
+        g.warmup()
+        print(f"warmed in {time.time() - t0:.0f}s", flush=True)
     srv = make_server(g, port=port, window_ms=window_ms, host=host)
     print(f"serving {args[0]} on http://{host}:{srv.server_address[1]} "
           f"(batch_size={g.bs}, window={window_ms}ms)", flush=True)
