@@ -138,6 +138,34 @@ def test_warmup_compiles_buckets(server):
     assert "quant" not in gq.variables
 
 
+def test_batch_predict_csv_to_jsonl(server, tmp_path):
+    """Bulk mode: dataset-format CSV in, JSONL predictions out, rows equal
+    to direct ground() calls; extra bbox columns are ignored."""
+    from zsgnet_tpu.predict import batch_predict
+
+    g, url, img_path = server
+    csv = tmp_path / "split.csv"
+    csv.write_text(
+        "img_id,query,bbox\n"
+        f"{img_path.name},the red box,\"[0,0,1,1]\"\n"
+        f"{img_path.name},a blue ellipse,\"[0,0,1,1]\"\n"
+        f"{img_path.name},box on the left,\"[0,0,1,1]\"\n"
+    )
+    out = tmp_path / "preds.jsonl"
+    n = batch_predict(g, csv, img_path.parent, out)
+    lines = [json.loads(line) for line in out.read_text().splitlines()]
+    assert n == 3 and len(lines) == 3
+    assert lines[1]["query"] == "a blue ellipse"
+    (direct,) = g.ground([img_path], ["the red box"])
+    np.testing.assert_allclose(lines[0]["box_xyxy"], direct["box_xyxy"], atol=1e-4)
+    assert abs(lines[0]["score"] - direct["score"]) < 1e-6
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("image,text\nx.png,hi\n")
+    with pytest.raises(ValueError, match="missing columns"):
+        batch_predict(g, bad, img_path.parent, tmp_path / "x.jsonl")
+
+
 def test_statz_counters(server):
     g, url, img_path = server
     code, _ = _post(url, {"query": "the red box", "image_path": str(img_path)})

@@ -10,7 +10,11 @@ CLI:
     python -m zsgnet_tpu.predict <ckpt_dir> <image> "<query>" [--key=val ...]
 
 prints the predicted box in original-image pixel coordinates
-(x1 y1 x2 y2) plus the match score.
+(x1 y1 x2 y2) plus the match score. Bulk mode streams a dataset-format
+CSV (img_id,query — bbox columns ignored) to JSONL predictions:
+
+    python -m zsgnet_tpu.predict <ckpt_dir> --csv=split.csv
+        --img_dir=images [--out=preds.jsonl] [--batch_size=32]
 """
 
 from __future__ import annotations
@@ -342,16 +346,70 @@ class Grounder:
         return out
 
 
+def batch_predict(
+    grounder: Grounder, csv_path: str | Path, img_dir: str | Path,
+    out_path: str | Path, block_batches: int = 4,
+) -> int:
+    """Offline bulk inference: dataset-format CSV → JSONL predictions.
+
+    The CSV is the same format the dataset splits use (``img_id`` path
+    relative to ``img_dir`` + ``query``; any bbox/case columns are
+    ignored), so a user can point this straight at a split file. Rows
+    stream through ``ground()`` in blocks of ``block_batches`` device
+    batches — large enough that the depth-2 host/device pipeline
+    overlaps prep with execution, small enough to bound memory. Returns
+    the number of rows written; each JSONL line carries
+    ``img_id``/``query``/``box_xyxy``/``box_norm``/``score``.
+    """
+    import json
+
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    missing = {"img_id", "query"} - set(df.columns)
+    if missing:
+        raise ValueError(f"{csv_path}: CSV is missing columns {sorted(missing)}")
+    img_dir = Path(img_dir)
+    span = block_batches * grounder.bs
+    n = 0
+    with open(out_path, "w") as f:
+        for start in range(0, len(df), span):
+            rows = df.iloc[start : start + span]
+            paths = [img_dir / str(p) for p in rows["img_id"]]
+            queries = [str(q) for q in rows["query"]]
+            for (_, row), res in zip(rows.iterrows(), grounder.ground(paths, queries)):
+                f.write(json.dumps(
+                    {"img_id": str(row["img_id"]), "query": str(row["query"]), **res}
+                ) + "\n")
+                n += 1
+    return n
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     overrides = dict(
         a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--") and "=" in a
     )
+    vocab_path = overrides.pop("vocab", None)
+    quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
+    csv_path = overrides.pop("csv", None)
+    if csv_path is not None:
+        # Bulk mode: --csv=split.csv --img_dir=images [--out=preds.jsonl]
+        if len(args) != 1:
+            raise SystemExit(__doc__)
+        img_dir = overrides.pop("img_dir", ".")
+        out_path = overrides.pop("out", "predictions.jsonl")
+        bs = int(overrides.pop("batch_size", "32"))
+        g = Grounder.from_checkpoint(
+            args[0], vocab_path, batch_size=bs, quantize=quantize,
+            cfg_overrides=overrides or None,
+        )
+        n = batch_predict(g, csv_path, img_dir, out_path)
+        print(f"wrote {n} predictions → {out_path}")
+        return
     if len(args) != 3:
         raise SystemExit(__doc__)
     ckpt_dir, image, query = args
-    vocab_path = overrides.pop("vocab", None)
-    quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     # cfg base = the checkpoint's own cfg.json sidecar; --key=val patches it.
     g = Grounder.from_checkpoint(
         ckpt_dir, vocab_path, batch_size=1, quantize=quantize,
