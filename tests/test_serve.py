@@ -138,6 +138,22 @@ def test_warmup_compiles_buckets(server):
     assert "quant" not in gq.variables
 
 
+def test_body_size_cap(server):
+    """Oversized POST bodies get 413 before any read/parse work."""
+    g, url, img_path = server
+    srv = make_server(g, port=0, window_ms=5.0, max_body_mb=0.0001)  # 100 B
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        small_url = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, out = _post(small_url, {
+            "query": "the red box", "image_path": str(img_path), "pad": "x" * 200,
+        })
+        assert code == 413 and "exceeds limit" in out["error"]
+    finally:
+        srv.shutdown()
+
+
 def test_batch_predict_csv_to_jsonl(server, tmp_path):
     """Bulk mode: dataset-format CSV in, JSONL predictions out, rows equal
     to direct ground() calls; extra bbox columns are ignored."""

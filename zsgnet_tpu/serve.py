@@ -234,11 +234,15 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
 
 
 def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
-                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                host: str = "127.0.0.1",
+                max_body_mb: float = 64.0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; .serve_forever() to run,
-    .shutdown() to stop. Tests bind port 0 and drive it from a thread."""
+    .shutdown() to stop. Tests bind port 0 and drive it from a thread.
+    ``max_body_mb`` caps request bodies (413) — an unbounded read would
+    let one oversized POST occupy the host."""
     batcher = MicroBatcher(grounder, window_ms=window_ms)
     resize_hw = tuple(grounder.cfg.resize_img)
+    max_body = int(max_body_mb * 1e6)
 
     def enqueue_one(req: dict) -> _Pending:
         query = req.get("query")
@@ -288,6 +292,11 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_body:
+                    self._send(413, {
+                        "error": f"body {n} bytes exceeds limit {max_body}"
+                    })
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if "requests" in req:
                     # Enqueue ALL before waiting on any — the whole list
@@ -341,12 +350,22 @@ def main() -> None:
         g.warmup()
         print(f"warmed in {time.time() - t0:.0f}s", flush=True)
     srv = make_server(g, port=port, window_ms=window_ms, host=host)
+    # Graceful SIGTERM (what a process manager sends): shutdown() must run
+    # from another thread — called inside the handler it deadlocks the
+    # serve_forever loop it is waiting on.
+    import signal
+
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=srv.shutdown, daemon=True).start(),
+    )
     print(f"serving {args[0]} on http://{host}:{srv.server_address[1]} "
           f"(batch_size={g.bs}, window={window_ms}ms)", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    print("daemon stopped", flush=True)
 
 
 if __name__ == "__main__":
