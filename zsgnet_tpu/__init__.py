@@ -20,3 +20,26 @@ Reference layer map: see SURVEY.md §1-§3 at the repo root.
 __version__ = "0.1.0"
 
 from zsgnet_tpu.config import Config, get_default_cfg  # noqa: F401
+
+# Lazy top-level API: `from zsgnet_tpu import Grounder` without paying the
+# model-stack import (jax tracing utilities, flax) at package import time.
+_LAZY = {
+    "Grounder": ("zsgnet_tpu.predict", "Grounder"),
+    "ExportedGrounder": ("zsgnet_tpu.export", "ExportedGrounder"),
+    "export_serving": ("zsgnet_tpu.export", "export_serving"),
+    "Learner": ("zsgnet_tpu.train.learner", "Learner"),
+    "get_data": ("zsgnet_tpu.data.dataset", "get_data"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'zsgnet_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
