@@ -72,6 +72,17 @@ class Config:
     opt_to_use: str = "adam"
     weight_decay: float = 0.0
     grad_clip: float = 0.0       # 0 = off
+    # Gradient accumulation: split each global batch into this many
+    # sequential microbatches inside the jitted step (lax.scan) and sum
+    # unnormalized loss partials, so activation memory scales with
+    # bs/grad_accum while grads stay EXACTLY the full-batch grads (the
+    # num_pos normalizer depends only on annotations — each microbatch's
+    # contribution is rescaled by its clamped global positive count and
+    # the sum is divided by the total). BatchNorm is the one exception:
+    # batch moments are per-microbatch (same caveat as torch accumulation)
+    # — the BN-free SSD path is bit-exact end to end. bs must be divisible
+    # by grad_accum (× mesh size when distributed).
+    grad_accum: int = 1
     use_reduce_lr_plateau: bool = False
     plateau_factor: float = 0.1
     plateau_patience: int = 2

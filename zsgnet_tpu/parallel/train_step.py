@@ -121,7 +121,11 @@ def _use_fused_loss(cfg: Config) -> bool:
         if cfg.bs % max(n, 1):
             return False
         per_device_bs = cfg.bs // n
-    if per_device_bs % 8:
+    # With grad accumulation the kernel sees bs/(devices*grad_accum) rows.
+    k = max(int(cfg.grad_accum), 1)
+    if per_device_bs % k:
+        return False
+    if (per_device_bs // k) % 8:
         return False
     import jax
 
@@ -209,11 +213,71 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         ls = compute_loss(out, batch["annot"])
         return ls["total"], (ls, new_stats)
 
-    def step_shard(state: TrainState, batch: dict[str, Array]):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (ls, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, state.apply_fn
+    k = max(int(cfg.grad_accum), 1)
+
+    def _clamped_global_pos(num_pos_local):
+        n = jax.lax.psum(num_pos_local, axis) if axis is not None else num_pos_local
+        return jnp.maximum(n, 1.0)
+
+    def grads_accumulated(state: TrainState, batch: dict[str, Array]):
+        """Microbatched grad/loss accumulation — EXACT full-batch grads.
+
+        Every loss path normalizes by the clamped global positive-anchor
+        count, which is a function of annotations alone. So each
+        microbatch's normalized grads are rescaled back to unnormalized
+        partials (× its clamped count), summed over a ``lax.scan``, and
+        divided by the clamped TOTAL count — algebraically identical to
+        the one-shot step (incl. the num_pos=0 clamp: a positive-free
+        microbatch contributes its negative-anchor loss undivided, exactly
+        as those anchors weigh in the full batch). BatchNorm moments are
+        per-microbatch (torch-accumulation caveat); running stats chain
+        through the scan carry.
+        """
+        bsz = jax.tree.leaves(batch)[0].shape[0]
+        if bsz % k:
+            raise ValueError(
+                f"grad_accum={k} does not divide the per-shard batch {bsz} "
+                "(cfg.bs must be divisible by grad_accum x mesh size)"
+            )
+        micro = jax.tree.map(
+            lambda x: x.reshape((k, bsz // k) + x.shape[1:]), batch
         )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, mb):
+            stats, g_acc, s_acc, n_acc = carry
+            (_, (ls, stats)), grads = grad_fn(
+                state.params, stats, mb, state.apply_fn
+            )
+            w = _clamped_global_pos(ls["num_pos"])
+            g_acc = jax.tree.map(lambda a, g: a + g * w.astype(g.dtype), g_acc, grads)
+            s_acc = {
+                key: s_acc[key] + (v if key == "num_pos" else v * w)
+                for key, v in ls.items()
+            }
+            return (stats, g_acc, s_acc, n_acc + ls["num_pos"]), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        s0 = {key: jnp.zeros((), jnp.float32)
+              for key in ("total", "cls_ls", "box_ls", "num_pos")}
+        n0 = jnp.zeros((), jnp.float32)
+        (new_stats, g_acc, s_acc, n_acc), _ = jax.lax.scan(
+            body, (state.batch_stats, g0, s0, n0), micro
+        )
+        n_total = _clamped_global_pos(n_acc)
+        grads = jax.tree.map(lambda g: g / n_total.astype(g.dtype), g_acc)
+        ls = {key: (v if key == "num_pos" else v / n_total)
+              for key, v in s_acc.items()}
+        return ls, new_stats, grads
+
+    def step_shard(state: TrainState, batch: dict[str, Array]):
+        if k > 1:
+            ls, new_stats, grads = grads_accumulated(state, batch)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (ls, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, state.apply_fn
+            )
         if mesh is not None:
             # Per-shard losses are global-normalized partials: psum makes
             # grads/metrics EXACTLY equal the single-device global batch.
