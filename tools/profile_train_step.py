@@ -48,10 +48,14 @@ VMEM = next(
     (int(a.split("=")[1]) for a in sys.argv if a.startswith("--vmem=")), 0
 )
 
+GRAD_ACCUM = next(
+    (int(a.split("=")[1]) for a in sys.argv if a.startswith("--grad_accum=")), 1
+)
+
 cfg = get_default_cfg().replace(
     bs=B, do_dist=False, remat_backbone=REMAT, head_canvas=CANVAS,
     bn_variance=BN_MODE, resize_img=(RESIZE, RESIZE),
-    spd_stem="--spd" in sys.argv, tpu_vmem_kib=VMEM,
+    spd_stem="--spd" in sys.argv, tpu_vmem_kib=VMEM, grad_accum=GRAD_ACCUM,
 )
 model = get_default_net(cfg, vocab_size=10000)
 rng = np.random.default_rng(0)
@@ -87,12 +91,21 @@ else:
     step = make_train_step(cfg, anchors, mesh=None)
 
 print(
-    f"B={B} remat={REMAT} canvas={CANVAS} platform={jax.devices()[0].platform}",
+    f"B={B} remat={REMAT} canvas={CANVAS} grad_accum={GRAD_ACCUM} "
+    f"platform={jax.devices()[0].platform}",
     flush=True,
 )
 for _ in range(3):
     state, ls = step(state, batch)
 float(ls["total"])  # force
+
+# HBM peak (the number grad_accum exists to shrink). memory_stats() is
+# backend-dependent — absent on CPU and some PJRT plugins.
+stats = jax.local_devices()[0].memory_stats() or {}
+peak = stats.get("peak_bytes_in_use")
+if peak is not None:
+    print(f"HBM peak: {peak / 2**30:.2f} GiB "
+          f"(limit {stats.get('bytes_limit', 0) / 2**30:.2f} GiB)", flush=True)
 
 # Wall-clock (long loop, value-close — tunnel discipline)
 t0 = time.perf_counter()
