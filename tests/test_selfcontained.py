@@ -115,3 +115,46 @@ def test_plateau_state_roundtrip(trained):
     assert resumed.plateau.num_bad == 2
     assert resumed.plateau.scale == pytest.approx(0.1)
     assert float(resumed.state.lr_scale) == pytest.approx(0.1)
+
+
+def test_mesh_elastic_restore(tmp_path_factory):
+    """Checkpoints are mesh-elastic: a run trained over the 8-shard data
+    mesh restores on a single device (and keeps training) with identical
+    metrics — a pod checkpoint must be debuggable on one chip, and a
+    one-chip warm start must scale out. Orbax stores replicated arrays
+    host-local, so restore targets any device layout."""
+    root = tmp_path_factory.mktemp("el_data")
+    synthetic.generate(root, n_train=16, n_val=8, n_test=4, img_size=64)
+    base = dict(
+        ds_to_use="synthetic", data_dir=str(root), bs=8, nw=1, lr=1e-3,
+        max_qlen=8, compute_dtype="float32", use_pallas=False,
+        tmp_path=str(root / "tmp"), epochs=1, log_every=1,
+        resize_img=(64, 64), lstm_dim=12, emb_dim=12, fpn_ch=24, head_ch=24,
+    )
+    cfg8 = Config(do_dist=True, **base)
+    data8 = get_data(cfg8)
+    learn8 = Learner("t_elastic", data8, cfg8)
+    learn8.fit(1)
+    m8 = learn8.validate()
+
+    # 8-shard checkpoint → single device: metrics must reproduce exactly.
+    cfg1 = Config(do_dist=False, resume=True, **base)
+    data1 = get_data(cfg1)
+    learn1 = Learner("t_elastic", data1, cfg1)
+    assert learn1.epoch == 1
+    m1 = learn1.validate()
+    np.testing.assert_allclose(m1["MeanIoU"], m8["MeanIoU"], atol=1e-5)
+    np.testing.assert_allclose(m1["Acc"], m8["Acc"], atol=1e-9)
+
+    # ...and training continues on the new layout (epoch budget 2 total).
+    learn1.fit(2)
+    assert learn1.epoch == 2
+
+    # single-device checkpoint → back onto the mesh, one more epoch.
+    learn_back = Learner("t_elastic", data8, cfg8.replace(resume=True))
+    assert learn_back.epoch == 2
+    mb = learn_back.validate()
+    m1b = learn1.validate()
+    np.testing.assert_allclose(mb["MeanIoU"], m1b["MeanIoU"], atol=1e-5)
+    learn_back.fit(3)
+    assert learn_back.epoch == 3
