@@ -1,0 +1,35 @@
+"""The stranger-operability surface: ``--list_flags`` + the packaged demo."""
+
+import pytest
+
+from zsgnet_tpu.main import list_flags, parse_args
+
+
+def test_list_flags_covers_every_config_field():
+    import dataclasses
+
+    from zsgnet_tpu.config import Config
+
+    text = list_flags()
+    for f in dataclasses.fields(Config):
+        assert f"--{f.name}=" in text, f"flag listing misses {f.name}"
+    # Reference aliases are surfaced next to their canonical key.
+    assert "[batch_size]" in text and "--bs=" in text
+
+
+def test_list_flags_exits_before_uid_requirement():
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--list_flags"])
+    assert "--grad_accum=" in str(e.value)
+
+
+@pytest.mark.slow
+def test_demo_end_to_end(tmp_path):
+    """python -m zsgnet_tpu.demo: train → eval → checkpoint-serve → AOT
+    artifact, on a fresh machine with zero inputs. The demo asserts
+    live-vs-artifact drift internally."""
+    from zsgnet_tpu.demo import demo
+
+    metrics = demo(workdir=tmp_path, epochs=1, n_train=8, bs=4)
+    assert {"Acc", "MaxPos", "MeanIoU"} <= set(metrics)
+    assert (tmp_path / "artifact" / "export.json").exists()

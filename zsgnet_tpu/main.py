@@ -29,7 +29,25 @@ from zsgnet_tpu.data.dataset import get_data
 from zsgnet_tpu.train.learner import Learner
 
 
+def list_flags() -> str:
+    """Every ``--key=value`` override: name, default, reference aliases."""
+    import dataclasses
+
+    from zsgnet_tpu.config import KEY_MAPS, Config
+
+    aliases: dict[str, list[str]] = {}
+    for alias, key in KEY_MAPS.items():
+        aliases.setdefault(key, []).append(alias)
+    lines = ["Config overrides (--key=value; reference aliases in brackets):"]
+    for f in dataclasses.fields(Config):
+        al = f"  [{', '.join(sorted(aliases[f.name]))}]" if f.name in aliases else ""
+        lines.append(f"  --{f.name}={f.default!r}{al}")
+    return "\n".join(lines)
+
+
 def parse_args(argv: list[str]) -> tuple[str, dict[str, str], bool]:
+    if "--list_flags" in argv:
+        raise SystemExit(list_flags())
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("uid", help="experiment id (logs/checkpoints key)")
     parser.add_argument("--multi_host", default="False")
