@@ -33,3 +33,13 @@ def test_demo_end_to_end(tmp_path):
     metrics = demo(workdir=tmp_path, epochs=1, n_train=8, bs=4)
     assert {"Acc", "MaxPos", "MeanIoU"} <= set(metrics)
     assert (tmp_path / "artifact" / "export.json").exists()
+
+    # ckpt_info answers for both artifact kinds the demo produced.
+    from zsgnet_tpu.ckpt_info import describe
+
+    ck = describe(tmp_path / "tmp" / "models" / "demo")
+    assert ck["self_contained"] and ck["epoch"] == 1
+    assert ck["cfg_non_default"]["fpn_ch"] == 32
+    art = describe(tmp_path / "artifact")
+    assert art["kind"].startswith("serving artifact")
+    assert art["modules"]

@@ -147,3 +147,32 @@ print(f"max |Δbox_norm|={worst_box:.2e}  max |Δscore|={worst_score:.2e}  "
 assert worst_box <= 2e-2 and worst_score <= 2e-2 and worst_iou >= 0.95, \
     "artifact != live Grounder"
 print("OK — TPU StableHLO artifact reproduces the live serving path")
+
+# Phase 2: int8 artifact — the calibration scales are baked as constants
+# (frozen deployments never recalibrate). Live int8 calibrates on its
+# first batch; the artifact must reproduce it. int8 rounding can flip
+# round(x/scale) by one LSB across compiles, so the bar is IoU-grade on
+# trained margins, not bitwise.
+gq = Grounder(
+    cfg, vocab, dict(variables), batch_size=32, quantize=True,
+    bucket_sizes=(32,),
+)
+imgs32 = [rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8) for _ in range(32)]
+queries32 = ["a man in a red shirt", "the dog by the blue car"] * 16
+t0 = time.time()
+live_q = gq.ground(imgs32, queries32)  # first batch calibrates
+assert "quant" in gq.variables
+print(f"live int8 Grounder (calibrate+compile+run): {time.time()-t0:.0f}s")
+with tempfile.TemporaryDirectory() as td2:
+    t0 = time.time()
+    art_q = export_serving(gq, td2, platforms=("tpu",))
+    served_q = ExportedGrounder.load(art_q)
+    exported_q = served_q.ground(imgs32, queries32)
+    print(f"int8 artifact export+load+serve: {time.time()-t0:.0f}s")
+worst_iou_q = min(
+    _iou(a["box_norm"], b["box_norm"]) for a, b in zip(live_q, exported_q)
+)
+worst_score_q = max(abs(a["score"] - b["score"]) for a, b in zip(live_q, exported_q))
+print(f"int8: max |Δscore|={worst_score_q:.2e}  min IoU={worst_iou_q:.4f}")
+assert worst_iou_q >= 0.9 and worst_score_q <= 5e-2, "int8 artifact != live int8"
+print("OK — int8 TPU artifact (baked calibration) reproduces live int8 serving")
