@@ -1,0 +1,178 @@
+"""GSPMD spatial partitioning (cfg.mesh_spatial) on the 8-device CPU mesh.
+
+The 2-D (data, spatial) mode jits the global-semantics step with the
+image height sharded over the spatial axis — XLA's SPMD partitioner
+inserts the conv halo exchanges and moment/grad reductions, so one
+sample's activations (the 600² HBM limiter) spread over chips. DDP has
+no counterpart (SURVEY.md §2 item 11 — beyond-reference capability).
+
+Correctness bar: the partitioned step computes the SAME global math as
+one device — equality up to fp32 reduction-order (partitioned psums).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from zsgnet_tpu.config import Config
+from zsgnet_tpu.data import synthetic
+from zsgnet_tpu.data.dataset import get_data
+from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
+from zsgnet_tpu.parallel.mesh import batch_shardings, is_spatial_mesh, make_mesh
+from zsgnet_tpu.parallel.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sp_data")
+    synthetic.generate(root, n_train=16, n_val=8, n_test=8, img_size=96)
+    return root
+
+
+def _cfg(root, tmp, **kw):
+    base = dict(
+        ds_to_use="synthetic", data_dir=str(root), bs=8, nw=0, lr=1e-2,
+        resize_img=(96, 96), max_qlen=8, lstm_dim=16, emb_dim=16,
+        fpn_ch=32, head_ch=32, compute_dtype="float32", use_pallas=False,
+        do_dist=False, tmp_path=str(tmp), opt_to_use="sgd", seed=3,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _state_and_batch(cfg, data, key=0):
+    batch = next(iter(data.train_dl))
+    dev = {k: batch[k] for k in ("img", "qvec", "qlens", "annot")}
+    model = get_default_net(cfg, vocab_size=len(data.vocab))
+    state = create_train_state(cfg, model, dev, jax.random.PRNGKey(key))
+    return state, dev
+
+
+def test_spatial_mesh_shape():
+    cfg = Config(mesh_spatial=4)
+    mesh = make_mesh(cfg)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "spatial")
+    assert is_spatial_mesh(mesh, cfg)
+    assert not is_spatial_mesh(make_mesh(Config()), cfg)
+    shs = batch_shardings(mesh, cfg)
+    assert shs["img"].spec == ("data", "spatial")
+    assert shs["annot"].spec == ("data",)
+
+
+def test_spatial_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(Config(mesh_spatial=16))
+
+
+def test_spatial_train_step_exact_on_bn_free_ssd(synth_root, tmp_path):
+    """(data=2, spatial=4) GSPMD step == single-device step on SSD-VGG
+    (no BatchNorm). Loss matches to 1e-5; post-SGD params to 5e-4 abs —
+    conv-weight grads are sums over B×H×W ≈ 74k partitioned terms, and
+    fp32 reassociation of the partitioner's partial sums reaches ~1.6e-4
+    on ~0.2% of elements (measured; loss-level agreement pins the math)."""
+    cfg1 = _cfg(synth_root, tmp_path, mdl_to_use="ssd_vgg")
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)
+    data = get_data(cfg1)
+    state1, dev = _state_and_batch(cfg1, data)
+    state_sp, _ = _state_and_batch(cfg_sp, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    s1, ls1 = make_train_step(cfg1, anchors, mesh=None)(state1, dev)
+    ssp, lssp = make_train_step(cfg_sp, anchors, mesh=mesh)(state_sp, dev)
+
+    np.testing.assert_allclose(float(ls1["total"]), float(lssp["total"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ls1["num_pos"]), float(lssp["num_pos"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(ssp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_spatial_train_gated_for_retina(synth_root, tmp_path):
+    """Retina×spatial TRAINING is gated: jax 0.9's SPMD partitioner
+    mis-compiles the grad of the ResNet+FPN forward under a
+    height-sharded image. Measured (tools/check_spatial_gspmd.py): the
+    forward-only train-mode loss matches single-device to 2e-5 (BN batch
+    moments to 2.5e-5 — halos and partitioned reductions are fine), but
+    the SAME forward inside value_and_grad shifts +8e-3 and gradients
+    come out 1.5× (data=2,spatial=4) to 22× (data=4,spatial=2) the true
+    gradient norm — layout-dependent, so a compiler bug, not reduction
+    order. BN-formulation dodges all fail (fast/shifted variance, frozen
+    BN, remat). make_train_step must refuse rather than train wrong."""
+    cfg_sp = _cfg(synth_root, tmp_path, do_dist=True, mesh_spatial=4)
+    anchors = anchor_pyramid_for(cfg_sp)
+    mesh = make_mesh(cfg_sp)
+    with pytest.raises(NotImplementedError, match="retina"):
+        make_train_step(cfg_sp, anchors, mesh=mesh)
+
+
+def test_spatial_eval_step_matches_single_device(synth_root, tmp_path):
+    cfg1 = _cfg(synth_root, tmp_path)
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)
+    data = get_data(cfg1)
+    state, dev = _state_and_batch(cfg1, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    ev1 = make_eval_step(cfg1, anchors, mesh=None)(state, dev)
+    evsp = make_eval_step(cfg_sp, anchors, mesh=mesh)(state, dev)
+
+    np.testing.assert_allclose(np.asarray(ev1["iou"]), np.asarray(evsp["iou"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ev1["correct"]),
+                                  np.asarray(evsp["correct"]))
+    np.testing.assert_allclose(np.asarray(ev1["loss"]), np.asarray(evsp["loss"]),
+                               rtol=1e-4)
+
+
+def test_spatial_composes_with_grad_accum(synth_root, tmp_path):
+    """grad_accum=2 under the (2, 4) mesh still equals the one-shot
+    single-device step on the BN-free SSD path (exact protocol).
+
+    Regression guard for a second jax-0.9 GSPMD bug: grad-of-``lax.scan``
+    over sharded microbatches mis-partitions the forward (per-microbatch
+    losses came out 6.427 vs the true 5.547; grads 7.5× off l2), while
+    the forward-only scan and the unrolled loop are both exact —
+    grads_accumulated therefore unrolls under a spatial mesh."""
+    cfg1 = _cfg(synth_root, tmp_path, mdl_to_use="ssd_vgg")
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4, grad_accum=2)
+    data = get_data(cfg1)
+    state1, dev = _state_and_batch(cfg1, data)
+    state_sp, _ = _state_and_batch(cfg_sp, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    s1, ls1 = make_train_step(cfg1, anchors, mesh=None)(state1, dev)
+    ssp, lssp = make_train_step(cfg_sp, anchors, mesh=mesh)(state_sp, dev)
+
+    np.testing.assert_allclose(float(ls1["total"]), float(lssp["total"]),
+                               rtol=1e-4)
+    # Reassociation envelope: k microbatch partial-sums × the partitioned
+    # grad reduction (measured worst element 5.1e-4; loss pins the math).
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(ssp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_learner_fit_on_spatial_mesh(synth_root, tmp_path):
+    """Full Learner loop (fit 1 epoch → validate) with cfg.mesh_spatial=4:
+    make_mesh builds the (2, 4) mesh, _shard places the image
+    P(data, spatial), and both steps run GSPMD-partitioned — the exact
+    `main --mesh_spatial=4 --mdl_to_use=ssd_vgg` user path (retina
+    training is gated under spatial, see test_spatial_train_gated_for_retina)."""
+    from zsgnet_tpu.train.learner import Learner
+
+    cfg = _cfg(synth_root, tmp_path, do_dist=True, mesh_spatial=4,
+               mdl_to_use="ssd_vgg", epochs=1, nw=0, log_every=1)
+    data = get_data(cfg)
+    learn = Learner("t_spatial", data, cfg)
+    assert learn.mesh is not None and learn.mesh.devices.shape == (2, 4)
+    learn.fit(1)
+    m = learn.validate()
+    assert np.isfinite(m["loss"]) and "Acc" in m and "MaxPos" in m

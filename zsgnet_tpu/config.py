@@ -114,6 +114,20 @@ class Config:
     do_dist: bool = True              # shard batch over the data mesh axis
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all available devices, 1-D data mesh
     data_axis: str = "data"
+    # Spatial partitioning (beyond-reference; DDP cannot do this): >1
+    # builds a 2-D (data, spatial) mesh and shards the image HEIGHT over
+    # `mesh_spatial` chips. The step is then GSPMD-partitioned (jit +
+    # in_shardings, global-semantics math) — XLA inserts the conv halo
+    # exchanges. Lets the 600² config train/serve with a per-chip batch
+    # smaller than one sample's activations would otherwise allow, and
+    # scales batch-1 latency over chips. Selects the jnp loss paths
+    # (Pallas custom calls can't be auto-partitioned). TRAINING support
+    # is ssd_vgg-only: jax 0.9's partitioner mis-compiles the grad of the
+    # ResNet+FPN forward under a height-sharded image (measured; see
+    # docs/DESIGN.md + tools/check_spatial_gspmd.py) — retina raises.
+    # Eval/serving is exact for both backbones.
+    mesh_spatial: int = 1
+    spatial_axis: str = "spatial"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
     # Scoped-VMEM budget passed to the TPU compiler for every jitted

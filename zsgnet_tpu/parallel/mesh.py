@@ -21,18 +21,57 @@ from zsgnet_tpu.config import Config
 
 
 def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
-    """1-D data mesh over all (or the given) devices."""
+    """Data mesh over all (or the given) devices.
+
+    ``cfg.mesh_spatial > 1`` adds a second axis: the mesh becomes
+    ``(data, spatial)`` and the train/eval steps switch from shard_map
+    data parallelism to GSPMD auto-partitioning with the image height
+    sharded over the spatial axis (see ``parallel.train_step``).
+    """
     devs = np.asarray(devices if devices is not None else jax.devices())
     shape = cfg.mesh_shape
     if len(shape) != 1:
         raise ValueError("zsgnet uses a 1-D data mesh (the model fits one chip)")
+    sp = max(int(cfg.mesh_spatial), 1)
+    if sp > 1:
+        n = shape[0] if shape[0] != -1 else devs.size // sp
+        if n < 1 or n * sp > devs.size:
+            raise ValueError(
+                f"mesh (data={n}, spatial={sp}) needs {max(n, 1) * sp} devices, "
+                f"have {devs.size}"
+            )
+        return Mesh(
+            devs[: n * sp].reshape(n, sp),
+            axis_names=(cfg.data_axis, cfg.spatial_axis),
+        )
     n = shape[0] if shape[0] != -1 else devs.size
     return Mesh(devs[:n].reshape(n), axis_names=(cfg.data_axis,))
+
+
+def is_spatial_mesh(mesh: Mesh | None, cfg: Config) -> bool:
+    """True when `mesh` carries the spatial axis (GSPMD-partitioned steps)."""
+    return mesh is not None and cfg.spatial_axis in mesh.axis_names
 
 
 def batch_sharding(mesh: Mesh, cfg: Config) -> NamedSharding:
     """Leading-axis (batch) sharding for input pytrees."""
     return NamedSharding(mesh, P(cfg.data_axis))
+
+
+def batch_shardings(mesh: Mesh, cfg: Config) -> dict[str, NamedSharding]:
+    """Per-key input shardings for the device batch.
+
+    On a spatial mesh the image is additionally sharded on its height
+    (dim 1 of NHWC) so GSPMD partitions every conv spatially; 1-D
+    (qvec/qlens/annot) arrays shard on batch only.
+    """
+    data = NamedSharding(mesh, P(cfg.data_axis))
+    img = (
+        NamedSharding(mesh, P(cfg.data_axis, cfg.spatial_axis))
+        if is_spatial_mesh(mesh, cfg)
+        else data
+    )
+    return {"img": img, "qvec": data, "qlens": data, "annot": data}
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

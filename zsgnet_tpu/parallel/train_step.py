@@ -113,6 +113,9 @@ def _use_fused_loss(cfg: Config) -> bool:
     semantics)."""
     if not (cfg.use_focal and not cfg.use_softmax and cfg.use_pallas and cfg.use_multi):
         return False
+    if cfg.mesh_spatial > 1:
+        # GSPMD auto-partitioning can't shard a Pallas custom call.
+        return False
     per_device_bs = cfg.bs
     if cfg.do_dist:
         import jax
@@ -193,11 +196,44 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
 def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     """Build the jitted train step: (state, batch) → (state, metrics).
 
-    With a mesh, the step is a shard_map SPMD program over the 'data'
-    axis; without (single device), the same math runs unsharded. Batch
-    arrays must have leading dim divisible by the mesh size.
+    Three modes by mesh shape:
+      * no mesh — the global math, unsharded, one device;
+      * 1-D ``(data,)`` mesh — shard_map SPMD over the batch, manual
+        psum/pmean collectives (the DDP-equivalent path);
+      * 2-D ``(data, spatial)`` mesh (``cfg.mesh_spatial > 1``) — GSPMD
+        auto-partitioning: the SAME global-semantics step is jitted with
+        ``in_shardings`` placing the image P(data, spatial) on height,
+        and XLA's SPMD partitioner inserts the conv halo exchanges,
+        moment psums, and grad allreduces itself. This is how a sample
+        too large for one chip's HBM (or a latency-bound small batch)
+        scales over ICI — DDP has no counterpart (SURVEY.md §2 item 11).
+
+    Batch arrays must have leading dim divisible by the data-axis size
+    (and image height by the spatial-axis size in GSPMD mode).
     """
-    axis = cfg.data_axis if mesh is not None else None
+    from zsgnet_tpu.parallel.mesh import batch_shardings, is_spatial_mesh
+
+    spatial = is_spatial_mesh(mesh, cfg)
+    if spatial and cfg.mdl_to_use == "retina":
+        # Measured (tools/check_spatial_gspmd.py, jax 0.9): differentiating
+        # the ResNet50+FPN forward with the image height GSPMD-sharded
+        # corrupts the program — the loss VALUE shifts +8e-3 relative to
+        # the identical ungradded forward (which matches single-device to
+        # 2e-5, BN moments included), and grads land 1.5–22× off depending
+        # on mesh layout. Formulation dodges all fail (fast/shifted BN,
+        # frozen BN, remat). The trigger is the backward of the spatial
+        # resampling stack (stride-2/maxpool/FPN-upsample); SSD-VGG (no
+        # upsample) is exact. Gate it rather than train wrong.
+        raise NotImplementedError(
+            "mesh_spatial > 1 training is not supported for mdl_to_use="
+            "'retina': jax 0.9's SPMD partitioner mis-compiles the "
+            "gradient of the ResNet+FPN forward under a height-sharded "
+            "image (loss shifts ~8e-3, grads 1.5-22x off; see "
+            "tools/check_spatial_gspmd.py for the reproduction). Use "
+            "ssd_vgg (exact), grad_accum for HBM relief, or spatial "
+            "EVAL/serving which is unaffected."
+        )
+    axis = cfg.data_axis if (mesh is not None and not spatial) else None
     compute_loss = make_compute_loss(cfg, anchors_cthw, axis)
 
     def loss_fn(params, batch_stats, batch, apply_fn):
@@ -232,6 +268,16 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         as those anchors weigh in the full batch). BatchNorm moments are
         per-microbatch (torch-accumulation caveat); running stats chain
         through the scan carry.
+
+        GSPMD caveat (jax 0.9, measured): differentiating through a
+        ``lax.scan`` whose per-iteration microbatch is GSPMD-sharded
+        mis-partitions the forward — per-microbatch losses come out WRONG
+        (e.g. 6.427 vs 5.547 on the BN-free SSD path, grads off 7.5×
+        relative), while the forward-only scan and the unrolled loop are
+        both exact, and ``with_sharding_constraint`` inside the body does
+        NOT fix it. Under a spatial mesh the microbatch loop is therefore
+        unrolled (k is small; compile cost only) — equality restored to
+        fp32 epsilon (tests/test_spatial.py).
         """
         bsz = jax.tree.leaves(batch)[0].shape[0]
         if bsz % k:
@@ -261,9 +307,17 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         s0 = {key: jnp.zeros((), jnp.float32)
               for key in ("total", "cls_ls", "box_ls", "num_pos")}
         n0 = jnp.zeros((), jnp.float32)
-        (new_stats, g_acc, s_acc, n_acc), _ = jax.lax.scan(
-            body, (state.batch_stats, g0, s0, n0), micro
-        )
+        if spatial:
+            # Unrolled: grad-of-scan over sharded microbatches is
+            # mis-partitioned by GSPMD (see docstring).
+            carry = (state.batch_stats, g0, s0, n0)
+            for i in range(k):
+                carry, _ = body(carry, jax.tree.map(lambda x: x[i], micro))
+            new_stats, g_acc, s_acc, n_acc = carry
+        else:
+            (new_stats, g_acc, s_acc, n_acc), _ = jax.lax.scan(
+                body, (state.batch_stats, g0, s0, n0), micro
+            )
         n_total = _clamped_global_pos(n_acc)
         grads = jax.tree.map(lambda g: g / n_total.astype(g.dtype), g_acc)
         ls = {key: (v if key == "num_pos" else v / n_total)
@@ -278,7 +332,7 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             (_, (ls, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, batch, state.apply_fn
             )
-        if mesh is not None:
+        if axis is not None:
             # Per-shard losses are global-normalized partials: psum makes
             # grads/metrics EXACTLY equal the single-device global batch.
             grads = jax.lax.psum(grads, axis)
@@ -300,6 +354,18 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     opts = _compiler_options(cfg)
     if mesh is None:
         return jax.jit(step_shard, donate_argnums=0, compiler_options=opts)
+
+    if spatial:
+        from jax.sharding import NamedSharding
+
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            step_shard,
+            in_shardings=(repl, batch_shardings(mesh, cfg)),
+            out_shardings=(repl, repl),
+            donate_argnums=0,
+            compiler_options=opts,
+        )
 
     state_spec = P()
     batch_spec = P(axis)
@@ -324,7 +390,10 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     (the Evaluator averages it per batch). Wrap-padded tail samples are
     included in the loss (metrics mask them; the loss is logging-only).
     """
-    axis = cfg.data_axis if mesh is not None else None
+    from zsgnet_tpu.parallel.mesh import batch_shardings, is_spatial_mesh
+
+    spatial = is_spatial_mesh(mesh, cfg)
+    axis = cfg.data_axis if (mesh is not None and not spatial) else None
     anchors_const = jnp.asarray(anchors_cthw)
     compute_loss = make_compute_loss(cfg, anchors_cthw, axis)
     use_levels = cfg.use_level_path
@@ -357,6 +426,17 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     opts = _compiler_options(cfg)
     if mesh is None:
         return jax.jit(run, compiler_options=opts)
+
+    if spatial:
+        from jax.sharding import NamedSharding
+
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            run,
+            in_shardings=(repl, batch_shardings(mesh, cfg)),
+            out_shardings=NamedSharding(mesh, P(cfg.data_axis)),
+            compiler_options=opts,
+        )
 
     sharded = shard_map(
         run,

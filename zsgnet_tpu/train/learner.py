@@ -32,7 +32,7 @@ import numpy as np
 from zsgnet_tpu.config import Config
 from zsgnet_tpu.data.dataset import DataWrap
 from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
-from zsgnet_tpu.parallel.mesh import batch_sharding, is_main_process, make_mesh
+from zsgnet_tpu.parallel.mesh import batch_shardings, is_main_process, make_mesh
 from zsgnet_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -113,10 +113,17 @@ class Learner:
             except Exception:
                 self._tb = None
 
-        # Under a mesh, BatchNorm syncs batch moments over ICI so sharded
-        # training matches the same global batch on one chip exactly.
+        # Under a shard_map mesh, BatchNorm syncs batch moments over ICI so
+        # sharded training matches the same global batch on one chip
+        # exactly. The GSPMD spatial mode needs NO axis name: the step is
+        # written with global semantics and XLA partitions the moment
+        # reductions itself (same global-batch stats).
+        from zsgnet_tpu.parallel.mesh import is_spatial_mesh
+
         model_cfg = (
-            cfg.replace(bn_sync_axis=cfg.data_axis) if self.mesh is not None else cfg
+            cfg.replace(bn_sync_axis=cfg.data_axis)
+            if self.mesh is not None and not is_spatial_mesh(self.mesh, cfg)
+            else cfg
         )
         self.model = get_default_net(model_cfg, vocab_size=len(data.vocab))
         self.anchors = anchor_pyramid_for(cfg)
@@ -195,16 +202,16 @@ class Learner:
     def _shard(self, batch: dict[str, Any]) -> dict[str, Any]:
         if self.mesh is None:
             return jax.device_put(batch)
-        sh = batch_sharding(self.mesh, self.cfg)
+        shs = batch_shardings(self.mesh, self.cfg)  # per-key (img: +spatial)
         if jax.process_count() > 1:
             # Multi-host: each host holds its own slice of the global batch
             # (the BatchLoader already shards batches by process index);
             # assemble the global array from per-process local data.
-            return jax.tree.map(
-                lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-                batch,
-            )
-        return jax.device_put(batch, sh)
+            return {
+                k: jax.make_array_from_process_local_data(shs[k], np.asarray(v))
+                for k, v in batch.items()
+            }
+        return {k: jax.device_put(v, shs[k]) for k, v in batch.items()}
 
     def _replicate(self, state):
         """Place the train state replicated over the mesh (fresh init and
