@@ -260,6 +260,30 @@ def test_data_parallel_grounding_matches_single_device(server):
         )
 
 
+def test_spatial_serving_matches_single_device(server):
+    """Grounder on the 2-D (data=2, spatial=4) mesh — the image HEIGHT is
+    GSPMD-sharded, the batch-1 latency-scaling case data parallelism
+    cannot touch. Forward-only, so safe for the retina backbone (the
+    jax-0.9 partitioner bugs are grad-only — tools/check_spatial_gspmd.py);
+    results must equal single-device serving, and buckets divide over the
+    DATA axis only (not mesh.size)."""
+    from zsgnet_tpu.parallel.mesh import make_mesh
+
+    g, url, img_path = server
+    cfg_sp = g.cfg.replace(do_dist=True, mesh_spatial=4)
+    mesh = make_mesh(cfg_sp, jax.devices())
+    assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+    sp = Grounder(cfg_sp, g.vocab, g.variables, batch_size=2, mesh=mesh)
+    assert sp.bucket_sizes == (2,)  # divisibility over data=2, not 8
+    imgs = [str(img_path)] * 3
+    queries = ["the red box", "a blue ellipse", "box"]
+    res_sp = sp.ground(imgs, queries)
+    res_1 = g.ground(imgs, queries)
+    for a, b in zip(res_sp, res_1):
+        np.testing.assert_allclose(a["box_xyxy"], b["box_xyxy"], atol=1e-3)
+        assert abs(a["score"] - b["score"]) < 1e-4
+
+
 def test_data_parallel_rejects_artifact_dir(server, tmp_path):
     from zsgnet_tpu.export import export_serving
     from zsgnet_tpu.serve import load_server_model

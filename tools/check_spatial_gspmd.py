@@ -34,10 +34,22 @@ capability, so the gates bound only our own feature surface.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# 8 virtual CPU devices, like tests/conftest.py (the env var alone is not
+# enough — the axon sitecustomize overrides JAX_PLATFORMS; see SKILL.md).
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -53,13 +65,14 @@ from zsgnet_tpu.parallel.train_step import create_train_state, make_compute_loss
 def _setup(**kw):
     root = Path(tempfile.mkdtemp())
     synthetic.generate(root, n_train=16, n_val=8, n_test=8, img_size=96)
-    cfg = Config(
+    base = dict(
         ds_to_use="synthetic", data_dir=str(root), bs=8, nw=0, lr=1e-2,
         resize_img=(96, 96), max_qlen=8, lstm_dim=16, emb_dim=16,
         fpn_ch=32, head_ch=32, compute_dtype="float32", use_pallas=False,
-        do_dist=False, tmp_path=tempfile.mkdtemp(), opt_to_use="sgd",
-        seed=3, **kw,
+        do_dist=False, tmp_path=tempfile.mkdtemp(), opt_to_use="sgd", seed=3,
     )
+    base.update(kw)
+    cfg = Config(**base)
     data = get_data(cfg)
     batch = next(iter(data.train_dl))
     dev = {k: batch[k] for k in ("img", "qvec", "qlens", "annot")}

@@ -100,7 +100,14 @@ class Grounder:
         # eval has no cross-batch ops (BN uses running stats), so XLA
         # partitions the whole forward with zero collectives and
         # throughput scales ≈ linearly with chips. Buckets are kept to
-        # multiples of the mesh size so every shard stays static-shaped.
+        # multiples of the DATA axis so every shard stays static-shaped.
+        # A 2-D (data, spatial) mesh (cfg.mesh_spatial > 1) additionally
+        # shards the image HEIGHT: GSPMD inserts the conv halo exchanges
+        # and batch-1 latency scales over chips — the case data
+        # parallelism cannot touch. Forward-only, so this is safe for
+        # BOTH backbones (the jax-0.9 partitioner bugs are grad-only;
+        # tools/check_spatial_gspmd.py) and equality-tested against the
+        # single-device Grounder in tests/test_spatial.py.
         self._mesh = mesh
         # Serving default: the canvas-packed head (models/canvas.py) is
         # 2–3× faster below B≈16 (B=1: 5.6→1.9 ms, B=8: 5.7→2.8 ms on
@@ -145,7 +152,10 @@ class Grounder:
         # latency 291 → 123 ms over the 56 MB/s tunnel — BASELINE.md).
         # Each bucket is one extra jit compile, cached after first use.
         # bucket_sizes=(batch_size,) restores the single-shape behavior.
-        n_shard = mesh.size if mesh is not None else 1
+        # Buckets split over the batch-sharding axis only (axis 0 = data);
+        # a spatial axis shards H, not the batch, so it doesn't constrain
+        # bucket sizes.
+        n_shard = int(mesh.shape[mesh.axis_names[0]]) if mesh is not None else 1
         if batch_size % n_shard:
             raise ValueError(
                 f"batch_size={batch_size} must divide over the {n_shard}-device mesh"
@@ -196,9 +206,16 @@ class Grounder:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            axes = mesh.axis_names
+            batch_sh = NamedSharding(mesh, P(axes[0]))
+            # 2-D mesh: image height (NHWC dim 1) over the spatial axis.
+            img_sh = (
+                NamedSharding(mesh, P(axes[0], axes[1]))
+                if len(axes) > 1
+                else batch_sh
+            )
             rep = NamedSharding(mesh, P())
-            jit_kw["in_shardings"] = (rep, batch_sh, batch_sh, batch_sh)
+            jit_kw["in_shardings"] = (rep, img_sh, batch_sh, batch_sh)
             jit_kw["out_shardings"] = (batch_sh, batch_sh)
         jit_opts = partial(jax.jit, **jit_kw)
         self._infer = jit_opts(self._infer_fn)

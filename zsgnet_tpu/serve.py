@@ -38,6 +38,9 @@ pays a cold compile (seconds to minutes).
 
 ``--data_parallel`` shards each device batch over all local chips
 (checkpoint serving only; throughput scales ≈ linearly with chips).
+Adding ``--mesh_spatial=N`` makes the mesh 2-D (data, spatial): the image
+height also shards over N chips per replica, scaling BATCH-1 latency —
+the case data parallelism cannot touch.
 
 Serving from an exported StableHLO artifact dir (``zsgnet_tpu.export``)
 is auto-detected via its ``export.json``; anything else is treated as a
@@ -226,7 +229,13 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
         from zsgnet_tpu.config import get_default_cfg
         from zsgnet_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(get_default_cfg(), jax.devices())
+        # --mesh_spatial=N (a cfg override) upgrades to the 2-D
+        # (data, spatial) mesh: image height shards over N chips per
+        # replica — batch-1 latency scaling (predict.Grounder docstring).
+        sp = int((cfg_overrides or {}).get("mesh_spatial", 1) or 1)
+        mesh = make_mesh(
+            get_default_cfg().replace(mesh_spatial=sp), jax.devices()
+        )
     return Grounder.from_checkpoint(
         d, batch_size=batch_size, quantize=quantize, cfg_overrides=cfg_overrides,
         mesh=mesh,
