@@ -294,6 +294,61 @@ def test_data_parallel_rejects_artifact_dir(server, tmp_path):
         load_server_model(art, data_parallel=True)
 
 
+def test_daemon_lifecycle_sigterm(server, tmp_path):
+    """The REAL daemon process end-to-end: `python -m zsgnet_tpu.serve
+    <ckpt_dir>` boots from a self-contained checkpoint dir, warms its
+    buckets, answers a request, then exits CLEANLY on SIGTERM (what a
+    process manager sends) — the handler must shutdown() from another
+    thread (in-handler it deadlocks serve_forever; serve.py:main)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from zsgnet_tpu.train.checkpoint import CheckpointManager
+
+    g, url, img_path = server
+    d = tmp_path / "ckpt"
+    m = CheckpointManager(d)
+    payload = {"params": g.variables["params"]}
+    if g.variables.get("batch_stats"):
+        payload["batch_stats"] = g.variables["batch_stats"]
+    m.save(0, payload)
+    m.wait()
+    (d / "cfg.json").write_text(g.cfg.replace(vocab_size=len(g.vocab)).dumps())
+    g.vocab.save(d / "vocab.json")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "zsgnet_tpu.serve", str(d), "--port=0",
+         "--batch_size=2", "--window_ms=5", "--platform=cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        port, lines = None, []
+        deadline = time.time() + 420  # cold compile of both buckets
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if line.startswith("serving "):
+                port = int(line.split(":")[-1].split()[0].strip("/"))
+                break
+        assert port, f"daemon never came up:\n{''.join(lines)}"
+        code, res = _post(f"http://127.0.0.1:{port}",
+                          {"query": "the red box", "image_path": str(img_path)})
+        assert code == 200 and 0 <= res["score"] <= 1
+        proc.send_signal(signal.SIGTERM)
+        rest = proc.communicate(timeout=60)[0]
+        assert proc.returncode == 0, f"exit {proc.returncode}:\n{rest}"
+        assert "daemon stopped" in rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_concurrent_requests_coalesce_correctly(server):
     g, url, img_path = server
     (direct,) = g.ground([img_path], ["the red box"])

@@ -30,7 +30,8 @@ Endpoints (JSON):
 CLI:
     python -m zsgnet_tpu.serve <ckpt_or_artifact_dir> [--port=8500]
         [--batch_size=8] [--window_ms=5] [--quantize=true]
-        [--data_parallel=true] [--warmup=false] [--key=val ...]
+        [--data_parallel=true] [--warmup=false] [--platform=cpu]
+        [--key=val ...]
 
 ``--warmup`` (default true) compiles every shape bucket before the
 daemon starts taking requests — otherwise the first request per bucket
@@ -347,6 +348,14 @@ def main() -> None:
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     dp = overrides.pop("data_parallel", "false").lower() in ("1", "true", "yes")
     warm = overrides.pop("warmup", "true").lower() in ("1", "true", "yes")
+    platform = overrides.pop("platform", "")
+    if platform:
+        # e.g. --platform=cpu for a chip-free smoke run. Must land before
+        # first device use — the env var alone is overridden by backend
+        # plugins' sitecustomize hooks.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     g = load_server_model(
         args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None,
         data_parallel=dp,
