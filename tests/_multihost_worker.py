@@ -55,6 +55,14 @@ tiny = dict(
 if mode == "smoke":
     cfg = Config(resize_img=(32, 32), max_qlen=4, lstm_dim=8, emb_dim=8,
                  fpn_ch=16, head_ch=16, **tiny)
+elif mode == "spatial":
+    # GSPMD spatial over a multi-host mesh: (data=2 ACROSS the two
+    # processes, spatial=2 within each) — conv halo exchanges cross the
+    # in-host axis while the batch halves live on different hosts. SSD
+    # (the spatial-train-exact backbone; retina is gated).
+    tiny.update(mdl_to_use="ssd_vgg", mesh_spatial=2)
+    cfg = Config(resize_img=(64, 64), max_qlen=8, lstm_dim=16, emb_dim=16,
+                 fpn_ch=32, head_ch=32, **tiny)
 else:
     cfg = Config(resize_img=(64, 64), max_qlen=8, lstm_dim=16, emb_dim=16,
                  fpn_ch=32, head_ch=32, **tiny)
@@ -67,7 +75,10 @@ learn.state, ls = learn.train_step(learn.state, learn._shard(learn._device_view(
 train_loss = float(ls["total"])
 result = {"train_loss": train_loss}
 
-if mode == "smoke":
+if mode == "spatial":
+    assert dict(learn.mesh.shape) == {"data": 2, "spatial": 2}, learn.mesh
+    result.update(learn.validate())
+elif mode == "smoke":
     # Collective save from ALL processes (rank-0-only save of mesh-global
     # arrays deadlocks on a real pod), then a collective restore.
     learn.save_model_dict(wait=True)

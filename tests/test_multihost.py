@@ -67,6 +67,39 @@ def test_two_process_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_spatial_matches_single_device(tmp_path):
+    """Multi-host × GSPMD spatial: a 2-process cluster on a (data=2
+    ACROSS hosts, spatial=2 within each) mesh — batch halves on different
+    hosts, conv halo exchanges within each — must reproduce the plain
+    single-process single-device step+eval on the same global batch
+    (SSD-VGG: the spatial-train-exact backbone)."""
+    root = tmp_path / "data"
+    synthetic.generate(root, n_train=16, n_val=8, n_test=8, img_size=64)
+    mh = _run_cluster(root, tmp_path / "mh", "spatial", timeout=720)
+
+    cfg = Config(
+        ds_to_use="synthetic", data_dir=str(root), bs=8, nw=1, lr=2e-3,
+        resize_img=(64, 64), max_qlen=8, lstm_dim=16, emb_dim=16,
+        fpn_ch=32, head_ch=32, compute_dtype="float32", use_pallas=False,
+        do_dist=False, tmp_path=str(tmp_path / "tmp_single"), seed=3,
+        opt_to_use="sgd", mdl_to_use="ssd_vgg",
+    )
+    data = get_data(cfg)
+    learn = Learner("mh_sp_single", data, cfg)
+    batch = next(iter(data.train_dl))
+    learn.state, ls = learn.train_step(
+        learn.state, learn._shard(learn._device_view(batch))
+    )
+    single = {"train_loss": float(ls["total"]), **learn.validate()}
+
+    np.testing.assert_allclose(mh["train_loss"], single["train_loss"], rtol=2e-4)
+    for k in ("Acc", "MaxPos", "num_samples"):
+        np.testing.assert_allclose(mh[k], single[k], atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(mh["MeanIoU"], single["MeanIoU"], atol=1e-4)
+    np.testing.assert_allclose(mh["loss"], single["loss"], rtol=2e-4)
+
+
+@pytest.mark.slow
 def test_two_process_matches_single_process(tmp_path):
     root = tmp_path / "data"
     synthetic.generate(root, n_train=16, n_val=8, n_test=8, img_size=64)
