@@ -41,6 +41,41 @@ ITERS = 100  # long loop + value-fetch close: the remote-tunnel runtime's
 #              .claude/skills/verify/SKILL.md "Timing gotcha")
 
 
+def _devices_or_die(timeout_s: float = 600.0, retries: int = 3):
+    """Backend init on a watchdog: a dead remote-TPU tunnel hangs
+    ``jax.devices()`` FOREVER (observed on this repo's axon tunnel) — a
+    hung bench is the worst artifact a driver can record. Retry a few
+    times (tunnels flap), then exit 1 with a diagnosable message."""
+    import threading
+
+    import jax
+
+    for attempt in range(1, retries + 1):
+        box: dict = {}
+
+        def probe():
+            try:
+                box["devices"] = jax.devices()
+            except Exception as e:  # noqa: BLE001
+                box["error"] = e
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if "devices" in box:
+            return box["devices"]
+        reason = box.get("error", f"still hung after {timeout_s:.0f}s")
+        print(f"bench: device init attempt {attempt}/{retries} failed: "
+              f"{reason}", flush=True)
+        if "error" in box:
+            break  # a hard error won't heal by retrying in-process
+        time.sleep(30)
+    raise SystemExit(
+        "bench: no usable backend (remote-TPU tunnel down?) — refusing to "
+        "hang or fabricate a number; rerun when the chip is reachable"
+    )
+
+
 def main() -> None:
     import jax
 
@@ -49,6 +84,8 @@ def main() -> None:
     from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 
     from zsgnet_tpu.utils.compile import compiler_options_for
+
+    _devices_or_die()  # fail loud, never hang, if the chip tunnel is down
 
     cfg = get_default_cfg().replace(bs=BATCH, do_dist=False)
     model = get_default_net(cfg, vocab_size=10000)
