@@ -42,38 +42,11 @@ ITERS = 100  # long loop + value-fetch close: the remote-tunnel runtime's
 
 
 def _devices_or_die(timeout_s: float = 600.0, retries: int = 3):
-    """Backend init on a watchdog: a dead remote-TPU tunnel hangs
-    ``jax.devices()`` FOREVER (observed on this repo's axon tunnel) — a
-    hung bench is the worst artifact a driver can record. Retry a few
-    times (tunnels flap), then exit 1 with a diagnosable message."""
-    import threading
+    """Backend init on a watchdog — a hung bench is the worst artifact a
+    driver can record (see ``zsgnet_tpu.utils.backend``)."""
+    from zsgnet_tpu.utils.backend import devices_or_die
 
-    import jax
-
-    for attempt in range(1, retries + 1):
-        box: dict = {}
-
-        def probe():
-            try:
-                box["devices"] = jax.devices()
-            except Exception as e:  # noqa: BLE001
-                box["error"] = e
-
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(timeout_s)
-        if "devices" in box:
-            return box["devices"]
-        reason = box.get("error", f"still hung after {timeout_s:.0f}s")
-        print(f"bench: device init attempt {attempt}/{retries} failed: "
-              f"{reason}", flush=True)
-        if "error" in box:
-            break  # a hard error won't heal by retrying in-process
-        time.sleep(30)
-    raise SystemExit(
-        "bench: no usable backend (remote-TPU tunnel down?) — refusing to "
-        "hang or fabricate a number; rerun when the chip is reachable"
-    )
+    return devices_or_die(timeout_s, retries, tag="bench")
 
 
 def main() -> None:

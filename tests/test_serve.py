@@ -326,12 +326,27 @@ def test_daemon_lifecycle_sigterm(server, tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
+        # Read stdout on a thread: a wedged daemon that stops printing
+        # would otherwise block readline() forever — the deadline must
+        # hold even with zero output (the exact hang class this repo's
+        # backend watchdogs exist for).
+        import queue
+
+        lines_q: "queue.Queue[str]" = queue.Queue()
+        reader = threading.Thread(
+            target=lambda: [lines_q.put(ln) for ln in proc.stdout],
+            daemon=True,
+        )
+        reader.start()
         port, lines = None, []
         deadline = time.time() + 420  # cold compile of both buckets
         while time.time() < deadline:
-            line = proc.stdout.readline()
-            if not line:
-                break
+            try:
+                line = lines_q.get(timeout=5)
+            except queue.Empty:
+                if proc.poll() is not None:
+                    break
+                continue
             lines.append(line)
             if line.startswith("serving "):
                 port = int(line.split(":")[-1].split()[0].strip("/"))
@@ -341,7 +356,11 @@ def test_daemon_lifecycle_sigterm(server, tmp_path):
                           {"query": "the red box", "image_path": str(img_path)})
         assert code == 200 and 0 <= res["score"] <= 1
         proc.send_signal(signal.SIGTERM)
-        rest = proc.communicate(timeout=60)[0]
+        proc.wait(timeout=60)
+        reader.join(timeout=10)  # pipe closes at exit; drain the tail
+        while not lines_q.empty():
+            lines.append(lines_q.get())
+        rest = "".join(lines)
         assert proc.returncode == 0, f"exit {proc.returncode}:\n{rest}"
         assert "daemon stopped" in rest
     finally:

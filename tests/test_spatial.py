@@ -160,6 +160,22 @@ def test_spatial_composes_with_grad_accum(synth_root, tmp_path):
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_learner_eval_only_retina_on_spatial_mesh(synth_root, tmp_path):
+    """Eval-only retina × spatial must WORK — the gate is on training
+    (grad miscompile), while the spatial eval forward is exact. The
+    Learner therefore builds its train step lazily: construction +
+    validate() succeed, and only touching .train_step raises."""
+    from zsgnet_tpu.train.learner import Learner
+
+    cfg = _cfg(synth_root, tmp_path, do_dist=True, mesh_spatial=4, nw=0)
+    data = get_data(cfg)
+    learn = Learner("t_spatial_eval", data, cfg)
+    m = learn.validate()
+    assert np.isfinite(m["loss"]) and "Acc" in m
+    with pytest.raises(NotImplementedError, match="retina"):
+        _ = learn.train_step
+
+
 def test_learner_fit_on_spatial_mesh(synth_root, tmp_path):
     """Full Learner loop (fit 1 epoch → validate) with cfg.mesh_spatial=4:
     make_mesh builds the (2, 4) mesh, _shard places the image

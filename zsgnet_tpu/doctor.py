@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
-import threading
 import time
 import traceback
 
@@ -64,33 +63,25 @@ def _config() -> bool:
 
 
 def _backend(timeout_s: float, platform: str | None) -> "object | None":
-    """Probe devices on a watchdog thread — a dead remote-TPU tunnel hangs
-    backend init indefinitely; report that instead of reproducing it."""
+    """Probe devices on a watchdog thread (``utils.backend``) — a dead
+    remote-TPU tunnel hangs backend init indefinitely; report that
+    instead of reproducing it."""
     import jax
+
+    from zsgnet_tpu.utils.backend import probe_devices
 
     if platform:
         jax.config.update("jax_platforms", platform)
-    box: dict = {}
-
-    def probe():
-        try:
-            box["devices"] = jax.devices()
-        except Exception as e:  # noqa: BLE001
-            box["error"] = e
-
-    t = threading.Thread(target=probe, daemon=True)
     t0 = time.time()
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
+    devs, err = probe_devices(timeout_s)
+    if devs is None and err is None:
         _row(_BAD, "backend", f"device init still hung after {timeout_s:.0f}s "
                               "— remote-TPU tunnel down? Retry, or force "
                               "--platform=cpu to work chip-free")
         return None
-    if "error" in box:
-        _row(_BAD, "backend", f"device init failed: {box['error']}")
+    if err is not None:
+        _row(_BAD, "backend", f"device init failed: {err}")
         return None
-    devs = box["devices"]
     plat = devs[0].platform
     kind = getattr(devs[0], "device_kind", "?")
     _row(_OK, "backend", f"{len(devs)}x {plat} ({kind}) in {time.time() - t0:.1f}s")
@@ -110,11 +101,13 @@ def _jit_smoke(devs) -> bool:
     try:
         t0 = time.time()
         x = jnp.ones((256, 256), jnp.bfloat16)
-        y = jax.jit(lambda a: (a @ a).sum())(x)
-        val = float(y)
+        # Sum in f32: a backend that reduces bf16 in bf16 stagnates the
+        # accumulator near 2^17 — don't fail a healthy machine on that.
+        y = jax.jit(lambda a: (a @ a).astype(jnp.float32).sum())(x)
+        val, want = float(y), float(256 ** 3)
         _row(_OK, "jit smoke (256² bf16 matmul)",
              f"= {val:.0f} in {time.time() - t0:.1f}s (first compile)")
-        return val == 256 * 256 * 256
+        return abs(val - want) <= 0.01 * want
     except Exception as e:  # noqa: BLE001
         _row(_BAD, "jit smoke", f"{e}")
         return False

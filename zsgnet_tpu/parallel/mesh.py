@@ -34,6 +34,14 @@ def make_mesh(cfg: Config, devices: list | None = None) -> Mesh:
         raise ValueError("zsgnet uses a 1-D data mesh (the model fits one chip)")
     sp = max(int(cfg.mesh_spatial), 1)
     if sp > 1:
+        if shape[0] == -1 and devs.size % sp:
+            # -1 means ALL devices (1-D semantics) — silently stranding
+            # devs.size % sp chips would idle hardware, and on multi-host
+            # a process whose devices fell off the mesh hangs collectives.
+            raise ValueError(
+                f"mesh_spatial={sp} does not divide the {devs.size} devices; "
+                "pick a divisor or set mesh_shape=(n,) explicitly"
+            )
         n = shape[0] if shape[0] != -1 else devs.size // sp
         if n < 1 or n * sp > devs.size:
             raise ValueError(

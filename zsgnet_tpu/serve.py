@@ -213,10 +213,10 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
     serving only: exported artifacts are lowered for one device."""
     d = Path(model_dir)
     if (d / "export.json").exists():
-        if data_parallel:
+        if data_parallel or int((cfg_overrides or {}).get("mesh_spatial", 1) or 1) > 1:
             raise ValueError(
-                "data_parallel serving needs a checkpoint dir — exported "
-                "StableHLO artifacts are lowered for a single device"
+                "data_parallel/mesh_spatial serving needs a checkpoint dir — "
+                "exported StableHLO artifacts are lowered for a single device"
             )
         from zsgnet_tpu.export import ExportedGrounder
 
@@ -224,16 +224,17 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
     from zsgnet_tpu.predict import Grounder
 
     mesh = None
-    if data_parallel:
+    sp = int((cfg_overrides or {}).get("mesh_spatial", 1) or 1)
+    if data_parallel or sp > 1:
+        # --mesh_spatial=N builds the 2-D (data, spatial) mesh: image
+        # height shards over N chips per replica — batch-1 latency
+        # scaling (predict.Grounder docstring). It implies a device mesh
+        # on its own; --data_parallel alone gives the 1-D batch mesh.
         import jax
 
         from zsgnet_tpu.config import get_default_cfg
         from zsgnet_tpu.parallel.mesh import make_mesh
 
-        # --mesh_spatial=N (a cfg override) upgrades to the 2-D
-        # (data, spatial) mesh: image height shards over N chips per
-        # replica — batch-1 latency scaling (predict.Grounder docstring).
-        sp = int((cfg_overrides or {}).get("mesh_spatial", 1) or 1)
         mesh = make_mesh(
             get_default_cfg().replace(mesh_spatial=sp), jax.devices()
         )

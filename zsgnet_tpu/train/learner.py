@@ -148,7 +148,11 @@ class Learner:
             )
             if is_main_process():
                 print(f"glove init: {found}/{len(data.vocab)} vocab words found")
-        self.train_step = make_train_step(cfg, self.anchors, self.mesh)
+        # Train step is built LAZILY (first fit/overfit use): eval-only
+        # Learners must construct even where training is gated — e.g.
+        # retina × mesh_spatial, where make_train_step raises (jax-0.9
+        # GSPMD grad miscompile) but spatial eval is exact and supported.
+        self._train_step = None
         self.eval_step = make_eval_step(cfg, self.anchors, self.mesh)
         self.ckpt = CheckpointManager(self.model_dir)
         # Best-by-val-Acc checkpoints live in their own single-slot manager
@@ -170,6 +174,13 @@ class Learner:
             )
 
     # ------------------------------------------------------------------
+    @property
+    def train_step(self):
+        """Jitted train step, built on first use (see __init__ note)."""
+        if self._train_step is None:
+            self._train_step = make_train_step(self.cfg, self.anchors, self.mesh)
+        return self._train_step
+
     def _device_view(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
         keep = ("img", "qvec", "qlens", "annot")
         return {k: batch[k] for k in keep}
@@ -242,7 +253,7 @@ class Learner:
 
             tx = make_optimizer(cfg)
             self.state = self.state.replace(tx=tx, opt_state=tx.init(self.state.params))
-            self.train_step = make_train_step(cfg, self.anchors, self.mesh)
+            self._train_step = make_train_step(cfg, self.anchors, self.mesh)
         epochs = epochs or cfg.epochs
         n_remaining = epochs - self.epoch
         if n_remaining <= 0:
