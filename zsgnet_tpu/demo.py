@@ -43,14 +43,19 @@ def demo(
     from zsgnet_tpu.predict import Grounder
     from zsgnet_tpu.train.learner import Learner
 
+    from zsgnet_tpu.utils.backend import devices_or_die
+
     t0 = time.time()
     workdir = Path(workdir)
-    platform = jax.devices()[0].platform
+    # Watchdogged: a dead remote-TPU tunnel hangs jax.devices() forever —
+    # the stranger's first command must fail with advice, not freeze.
+    devices = devices_or_die(timeout_s=120, retries=1, tag="demo")
+    platform = devices[0].platform
 
     def stage(msg: str) -> None:
         print(f"[{time.time() - t0:6.1f}s] {msg}", flush=True)
 
-    stage(f"devices: {jax.devices()} (platform={platform})")
+    stage(f"devices: {devices} (platform={platform})")
 
     root = workdir / "data"
     if not (root / "synthetic").exists():
