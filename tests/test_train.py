@@ -177,6 +177,65 @@ def test_no_retrace_across_batches(synth_root, tmp_path):
     assert learn.train_step._cache_size() == 1, "train step retraced"
 
 
+def test_batchloader_start_batch_skips_without_reorder(synth_root, tmp_path):
+    """start_batch=k yields exactly the tail of the same deterministic
+    epoch sequence, one-shot (the next epoch starts at 0 again)."""
+    cfg = tiny_cfg(synth_root, tmp_path, bs=4, nw=1, do_dist=False)
+    data = get_data(cfg)
+    dl = data.train_dl
+    dl.set_epoch(5)
+    full = [b["img"] for b in dl]
+    dl.set_epoch(5)
+    dl.start_batch = 2
+    tail = [b["img"] for b in dl]
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a, b)
+    assert dl.start_batch == 0  # consumed
+    dl.set_epoch(5)
+    assert len(list(dl)) == len(full)
+
+
+@pytest.mark.slow
+def test_midepoch_resume_exact(synth_root, tmp_path):
+    """Preemption-safe mid-epoch checkpointing (cfg.ckpt_every_steps):
+    resume from a mid-epoch save and finish the epoch — the final state
+    must EQUAL the uninterrupted run bit-grade (SSD-VGG: no BatchNorm;
+    SGD: linear in grads; the deterministic (seed, epoch) loader replays
+    the identical remaining batches)."""
+    import jax
+
+    # 16 train samples / bs 4 → 4 batches per epoch; saves at batch 2.
+    kw = dict(bs=4, nw=1, do_dist=False, opt_to_use="sgd",
+              mdl_to_use="ssd_vgg", ckpt_every_steps=2, epochs=1)
+    cfg_a = tiny_cfg(synth_root, tmp_path / "a", **kw)
+    data_a = get_data(cfg_a)
+    learn_a = Learner("t_mid_a", data_a, cfg_a)
+    learn_a.fit(1)
+    assert int(learn_a.state.step) == len(data_a.train_dl)
+
+    # Interrupted twin: same seed/arch → same init; restore the batch-2
+    # preemption point explicitly, then finish.
+    cfg_b = tiny_cfg(synth_root, tmp_path / "b", **kw)
+    data_b = get_data(cfg_b)
+    learn_b = Learner("t_mid_b", data_b, cfg_b)
+    learn_b.fit(1)  # writes the step-2 mid-epoch checkpoint along the way
+    learn_c = Learner("t_mid_b", data_b, cfg_b)  # same model_dir as b
+    learn_c.load_model_dict(step=2)
+    assert learn_c.epoch == 0 and learn_c._resume_batches == 2
+    assert int(learn_c.state.step) == 2
+    learn_c.fit(1)  # resumes epoch 0 at batch 2, runs batches 2..3
+    assert int(learn_c.state.step) == len(data_b.train_dl)
+    assert learn_c.epoch == 1
+
+    for a, c in zip(jax.tree.leaves(learn_a.state.params),
+                    jax.tree.leaves(learn_c.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(learn_a.state.opt_state),
+                    jax.tree.leaves(learn_c.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_plateau_scheduler_semantics():
     """Epoch-granular ReduceLROnPlateau on the val metric (VERDICT r1 #3)."""
     from zsgnet_tpu.train.learner import PlateauScheduler

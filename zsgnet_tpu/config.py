@@ -94,6 +94,15 @@ class Config:
     only_test: bool = False
     log_every: int = 20
     ckpt_every_epochs: int = 1
+    # Preemption-safe MID-EPOCH checkpointing (beyond-reference; TPU
+    # fleets are preemptible): >0 saves every N optimizer steps inside
+    # the epoch (host-async, overlapped with training) with the position
+    # recorded, and resume continues from that exact batch — the
+    # deterministic (seed, epoch) loader order makes the resumed run
+    # equal the uninterrupted one (bit-grade on the BN-free SSD path;
+    # tests/test_train.py::test_midepoch_resume_exact). 0 = epoch-end
+    # checkpoints only (reference semantics).
+    ckpt_every_steps: int = 0
     tmp_path: str = "tmp"
     # --- TPU-native knobs ---
     compute_dtype: str = "bfloat16"   # activations/conv compute; params+loss fp32

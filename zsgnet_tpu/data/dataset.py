@@ -227,6 +227,11 @@ class BatchLoader:
         self.num_shards = num_shards
         self.prefetch_depth = prefetch_depth
         self.epoch = 0
+        # One-shot mid-epoch resume point: the NEXT __iter__ starts at this
+        # global batch index (no decode work for skipped batches — the
+        # skip happens at the index list), then resets to 0. Set by the
+        # Learner when restoring a cfg.ckpt_every_steps checkpoint.
+        self.start_batch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -289,6 +294,8 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         batches = self._batch_indices()
+        start = min(self.start_batch, len(batches))
+        self.start_batch = 0  # one-shot (subsequent epochs start at 0)
 
         def make(bi: int, idxs: np.ndarray) -> dict[str, np.ndarray]:
             return self._assemble(bi, batches)
@@ -318,8 +325,8 @@ class BatchLoader:
             window = self.nw + self.prefetch_depth
             with ThreadPoolExecutor(self.nw) as pool:
                 pending: deque = deque()
-                for bi, idxs in enumerate(batches):
-                    pending.append(pool.submit(make, bi, idxs))
+                for bi in range(start, len(batches)):
+                    pending.append(pool.submit(make, bi, batches[bi]))
                     if len(pending) >= window and not put(pending.popleft().result()):
                         return
                 while pending:

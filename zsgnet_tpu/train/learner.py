@@ -269,10 +269,21 @@ class Learner:
 
         smooth = SmoothenValue()
         self._in_fit = True
+        # Mid-epoch resume (cfg.ckpt_every_steps): skip the batches the
+        # restored checkpoint already trained on — index-level skip, no
+        # decode work — for the FIRST epoch of this fit only.
+        skip = min(int(getattr(self, "_resume_batches", 0)),
+                   len(self.data.train_dl))
+        self._resume_batches = 0
+        if skip and is_main_process():
+            print(f"fit: resuming epoch {self.epoch} mid-way at batch "
+                  f"{skip}/{len(self.data.train_dl)}")
         for _ in range(n_remaining):
             self.data.train_dl.set_epoch(self.epoch)
+            self.data.train_dl.start_batch = skip
+            epoch_skip, skip = skip, 0
             t0 = time.time()
-            n_batches = 0
+            n_batches = epoch_skip  # position within the epoch's sequence
             last_ls: dict[str, Any] = {}
             pending: dict[str, Any] | None = None
 
@@ -287,6 +298,16 @@ class Learner:
             for sharded, _ in self._device_prefetch(self.data.train_dl):
                 self.state, ls = self.train_step(self.state, sharded)
                 n_batches += 1
+                if (
+                    cfg.ckpt_every_steps > 0
+                    and n_batches % cfg.ckpt_every_steps == 0
+                    and n_batches < len(self.data.train_dl)
+                ):
+                    # Preemption point: async save carrying the in-epoch
+                    # position (all hosts reach this batch in lockstep —
+                    # the Orbax save stays collective).
+                    self._epoch_batches = n_batches
+                    self.save_model_dict(best=False)
                 if n_batches % cfg.log_every == 0:
                     # Never block the dispatch pipeline on a loss read: a
                     # synchronous float() costs a full device round-trip
@@ -306,13 +327,15 @@ class Learner:
                 **{f"train_{k}": v for k, v in last_ls.items()},
                 **{f"val_{k}": v for k, v in metrics.items()},
                 "train_time_s": round(train_time, 2),
-                "qps": round(n_batches * cfg.bs / max(train_time, 1e-9), 2),
+                "qps": round((n_batches - epoch_skip) * cfg.bs
+                             / max(train_time, 1e-9), 2),
             }
             self._log_row(row)
             # self.epoch counts COMPLETED epochs; increment before the
             # save so a resume continues at the next epoch instead of
             # repeating the one this checkpoint just finished.
             self.epoch += 1
+            self._epoch_batches = 0  # epoch-end saves resume at batch 0
             acc = metrics.get("Acc", 0.0)
             if acc >= self.best_metric:
                 self.best_metric = acc
@@ -418,6 +441,10 @@ class Learner:
             "opt_state": self.state.opt_state,
             "step": int(self.state.step),
             "epoch": self.epoch,
+            # In-epoch position for preemption-safe resume: 0 for
+            # epoch-end saves, N for cfg.ckpt_every_steps mid-epoch saves
+            # ("epoch `epoch` has N batches already trained").
+            "epoch_batches": int(getattr(self, "_epoch_batches", 0)),
             "best_metric": self.best_metric,
             "lr_scale": float(self._lr_scale_host),
             "plateau_best": float(self.plateau.best),
@@ -454,10 +481,13 @@ class Learner:
         path: str | None = None,
         strict: bool = True,
         prefer_best: bool = False,
+        step: int | None = None,
     ) -> None:
         """Restore state. ``prefer_best`` restores the best-val-Acc
         checkpoint (its dedicated single-slot store, which the rotation GC
-        never touches); default restores the latest step (crash resume)."""
+        never touches); default restores the latest step (crash resume);
+        ``step`` pins an explicit checkpointed step (e.g. a specific
+        mid-epoch preemption point still within ``max_to_keep``)."""
         root = self.model_dir if path is None else Path(path)
         mngr = self.ckpt if path is None else CheckpointManager(root)
         if prefer_best:
@@ -476,7 +506,7 @@ class Learner:
             "lr_scale": 1.0,
         }
         if strict:
-            restored = mngr.restore(template=template)
+            restored = mngr.restore(step=step, template=template)
             params = restored["params"]
             # Converted checkpoints (python -m zsgnet_tpu.convert) carry
             # params+batch_stats but no optimizer/step — strict restore
@@ -486,7 +516,7 @@ class Learner:
             opt_state = restored.get("opt_state", self.state.opt_state)
             stats = restored.get("batch_stats", self.state.batch_stats)
         else:
-            restored = mngr.restore()
+            restored = mngr.restore(step=step)
             params = partial_load(self.state.params, restored["params"])
             opt_state = self.state.opt_state  # fresh optimizer on warm start
             stats = self.state.batch_stats
@@ -506,6 +536,10 @@ class Learner:
             )
         )
         self.epoch = int(restored.get("epoch", 0))
+        # Mid-epoch preemption point: fit() skips this many batches of
+        # epoch `self.epoch` (the deterministic loader order makes the
+        # resumed trajectory equal the uninterrupted one).
+        self._resume_batches = int(restored.get("epoch_batches", 0))
         self.best_metric = float(restored.get("best_metric", -1.0))
 
     # ------------------------------------------------------------------
