@@ -236,6 +236,50 @@ def test_midepoch_resume_exact(synth_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
+def test_graceful_stop_resume_exact(synth_root, tmp_path):
+    """Learner.request_stop (the SIGTERM path): fit stops at the next
+    batch boundary, checkpoints the exact position, and a resumed run
+    finishes with state EQUAL to the uninterrupted twin (SSD+SGD,
+    deterministic loader — same bit-grade protocol as
+    test_midepoch_resume_exact, but stop-driven instead of periodic)."""
+    import jax
+
+    kw = dict(bs=4, nw=1, do_dist=False, opt_to_use="sgd",
+              mdl_to_use="ssd_vgg", epochs=2)
+    cfg_a = tiny_cfg(synth_root, tmp_path / "a", **kw)
+    data_a = get_data(cfg_a)
+    learn_a = Learner("t_stop_a", data_a, cfg_a)
+    learn_a.fit(2)  # 2 epochs x 4 batches
+
+    cfg_b = tiny_cfg(synth_root, tmp_path / "b", **kw)
+    data_b = get_data(cfg_b)
+    learn_b = Learner("t_stop_b", data_b, cfg_b)
+    orig_step = learn_b.train_step  # build, then wrap: stop after step 3
+    calls = {"n": 0}
+
+    def wrapped(state, batch):
+        out = orig_step(state, batch)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            learn_b.request_stop()
+        return out
+
+    learn_b._train_step = wrapped
+    learn_b.fit(2)
+    assert int(learn_b.state.step) == 3  # stopped mid-epoch 0
+    assert learn_b.epoch == 0
+
+    resumed = Learner("t_stop_b", data_b, cfg_b.replace(resume=True))
+    assert int(resumed.state.step) == 3 and resumed._resume_batches == 3
+    resumed.fit(2)  # batch 3 of epoch 0, then all of epoch 1
+    assert int(resumed.state.step) == 8 and resumed.epoch == 2
+
+    for a, c in zip(jax.tree.leaves(learn_a.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_plateau_scheduler_semantics():
     """Epoch-granular ReduceLROnPlateau on the val metric (VERDICT r1 #3)."""
     from zsgnet_tpu.train.learner import PlateauScheduler

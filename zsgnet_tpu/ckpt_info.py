@@ -92,6 +92,9 @@ def describe_checkpoint(d: Path) -> dict:
         ),
         "latest_step": latest,
         "epoch": restored.get("epoch"),
+        # >0: a mid-epoch preemption point (cfg.ckpt_every_steps /
+        # graceful stop) — resume continues at this batch of `epoch`.
+        "epoch_batches": restored.get("epoch_batches"),
         "best_metric": restored.get("best_metric"),
         "lr_scale": restored.get("lr_scale"),
         "plateau": {

@@ -94,6 +94,18 @@ def main_dist(uid: str, **kwargs) -> dict[str, float]:
     elif cfg.only_test:
         metrics = learn.testing()
     else:
+        if jax.process_count() == 1:
+            # Graceful preemption (single-host; see Learner.request_stop
+            # for why multi-host relies on ckpt_every_steps instead):
+            # SIGTERM checkpoints the exact position and exits resumable.
+            import signal
+
+            try:
+                signal.signal(
+                    signal.SIGTERM, lambda *_: learn.request_stop()
+                )
+            except ValueError:
+                pass  # not the main thread (embedded use) — skip
         learn.fit(cfg.epochs, cfg.lr)
         metrics = learn.validate()
     if jax.process_index() == 0:

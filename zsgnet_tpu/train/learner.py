@@ -153,6 +153,7 @@ class Learner:
         # retina × mesh_spatial, where make_train_step raises (jax-0.9
         # GSPMD grad miscompile) but spatial eval is exact and supported.
         self._train_step = None
+        self._stop_requested = False
         self.eval_step = make_eval_step(cfg, self.anchors, self.mesh)
         self.ckpt = CheckpointManager(self.model_dir)
         # Best-by-val-Acc checkpoints live in their own single-slot manager
@@ -180,6 +181,20 @@ class Learner:
         if self._train_step is None:
             self._train_step = make_train_step(self.cfg, self.anchors, self.mesh)
         return self._train_step
+
+    def request_stop(self) -> None:
+        """Ask ``fit`` to stop gracefully at the next batch boundary: it
+        checkpoints the exact in-epoch position (resumable to the same
+        trajectory — see ``cfg.ckpt_every_steps``) and returns. Safe to
+        call from a signal handler or another thread (a bare bool store).
+
+        Single-host semantics: on a multi-host pod the flag is
+        per-process and both the train step and the checkpoint save are
+        collectives, so a stop that reaches only SOME hosts (or lands at
+        different batch indices) would deadlock the others — multi-host
+        preemption should rely on periodic ``ckpt_every_steps`` saves,
+        which all hosts execute at the same batch in lockstep."""
+        self._stop_requested = True
 
     def _device_view(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
         keep = ("img", "qvec", "qlens", "annot")
@@ -317,7 +332,23 @@ class Learner:
                     for v in ls.values():
                         v.copy_to_host_async()
                     pending = ls
+                if self._stop_requested:
+                    break
             drain(pending)
+            if self._stop_requested:
+                # Graceful stop (request_stop / SIGTERM): persist the
+                # exact position and return — a resume replays the
+                # identical remaining trajectory (ckpt_every_steps
+                # machinery; single-host semantics, see request_stop).
+                self._stop_requested = False
+                self._epoch_batches = n_batches
+                self.save_model_dict(best=False, wait=True)
+                self._in_fit = False
+                if is_main_process():
+                    print(f"fit: stop requested — checkpointed at epoch "
+                          f"{self.epoch} batch {n_batches}/"
+                          f"{len(self.data.train_dl)} (resumable)")
+                return
             train_time = time.time() - t0
             metrics = self.validate()
             row = {
