@@ -284,6 +284,42 @@ def test_spatial_serving_matches_single_device(server):
         assert abs(a["score"] - b["score"]) < 1e-4
 
 
+def test_int8_data_parallel_matches_single_device(server):
+    """int8 throughput serving × data-parallel mesh: both Grounders
+    calibrate on the SAME first batch (calibration is unsharded), so the
+    activation scales are identical; the sharded int8 forward must then
+    agree with single-device int8. int8 cannot be bit-equal across
+    different compilations (one-LSB round(x/scale) flips at random init
+    — see test_export's int8 roundtrip), so assertions are score-close +
+    IoU-majority, the repo's int8 convention."""
+    from zsgnet_tpu.parallel.mesh import make_mesh
+
+    g, url, img_path = server
+    cfg = g.cfg.replace(head_canvas=False)
+    mesh = make_mesh(cfg, jax.devices())
+    q1 = Grounder(cfg, g.vocab, dict(g.variables), batch_size=32,
+                  quantize=True, bucket_sizes=(32,))
+    qd = Grounder(cfg, g.vocab, dict(g.variables), batch_size=32,
+                  quantize=True, bucket_sizes=(32,), mesh=mesh)
+    assert q1.quantize and qd.quantize
+    imgs = [str(img_path)] * 3
+    queries = ["the red box", "a blue ellipse", "box on the left"]
+    r1 = q1.ground(imgs, queries)
+    rd = qd.ground(imgs, queries)
+    assert "quant" in q1.variables and "quant" in qd.variables
+    ious = []
+    for a, b in zip(r1, rd):
+        assert abs(a["score"] - b["score"]) < 5e-3
+        ay1, ax1, ay2, ax2 = a["box_norm"]
+        by1, bx1, by2, bx2 = b["box_norm"]
+        ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+        iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+        inter = ih * iw
+        union = (ay2 - ay1) * (ax2 - ax1) + (by2 - by1) * (bx2 - bx1) - inter
+        ious.append(inter / union if union > 0 else 0.0)
+    assert np.mean([i > 0.8 for i in ious]) >= 0.66, f"int8 DP diverged: {ious}"
+
+
 def test_data_parallel_rejects_artifact_dir(server, tmp_path):
     from zsgnet_tpu.export import export_serving
     from zsgnet_tpu.serve import load_server_model
