@@ -404,6 +404,88 @@ def test_daemon_lifecycle_sigterm(server, tmp_path):
             proc.kill()
 
 
+@pytest.mark.slow
+def test_daemon_sigterm_drains_inflight_request(server, tmp_path):
+    """A request already ACCEPTED when SIGTERM lands must still get its
+    response (daemon_threads=False + server_close join): post with a
+    3-second micro-batch window, SIGTERM mid-window, and assert the 200
+    arrives and the process still exits 0."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from zsgnet_tpu.train.checkpoint import CheckpointManager
+
+    g, url, img_path = server
+    d = tmp_path / "ckpt"
+    m = CheckpointManager(d)
+    payload = {"params": g.variables["params"]}
+    if g.variables.get("batch_stats"):
+        payload["batch_stats"] = g.variables["batch_stats"]
+    m.save(0, payload)
+    m.wait()
+    (d / "cfg.json").write_text(g.cfg.replace(vocab_size=len(g.vocab)).dumps())
+    g.vocab.save(d / "vocab.json")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "zsgnet_tpu.serve", str(d), "--port=0",
+         "--batch_size=2", "--window_ms=3000", "--platform=cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        import queue
+
+        lines_q: "queue.Queue[str]" = queue.Queue()
+        reader = threading.Thread(
+            target=lambda: [lines_q.put(ln) for ln in proc.stdout],
+            daemon=True,
+        )
+        reader.start()
+        port, lines = None, []
+        deadline = time.time() + 420
+        while time.time() < deadline:
+            try:
+                line = lines_q.get(timeout=5)
+            except queue.Empty:
+                if proc.poll() is not None:
+                    break
+                continue
+            lines.append(line)
+            if line.startswith("serving "):
+                port = int(line.split(":")[-1].split()[0].strip("/"))
+                break
+        assert port, f"daemon never came up:\n{''.join(lines)}"
+
+        result: dict = {}
+
+        def post():
+            result["resp"] = _post(
+                f"http://127.0.0.1:{port}",
+                {"query": "the red box", "image_path": str(img_path)},
+            )
+
+        t = threading.Thread(target=post)
+        t.start()
+        time.sleep(1.0)  # request now sits in the 3s micro-batch window
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=120)
+        assert not t.is_alive(), "in-flight request never answered"
+        code, res = result["resp"]
+        assert code == 200 and 0 <= res["score"] <= 1, result
+        proc.wait(timeout=60)
+        reader.join(timeout=10)
+        while not lines_q.empty():
+            lines.append(lines_q.get())
+        assert proc.returncode == 0, f"exit {proc.returncode}:\n{''.join(lines)}"
+        assert "daemon stopped" in "".join(lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_concurrent_requests_coalesce_correctly(server):
     g, url, img_path = server
     (direct,) = g.ground([img_path], ["the red box"])

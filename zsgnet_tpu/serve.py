@@ -331,6 +331,12 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
         # clients connect in the same instant — exactly the burst shape
         # micro-batching exists for. Size it past any realistic batch.
         request_queue_size = 1024
+        # Graceful drain: handler threads are NON-daemonic so a
+        # shutdown() (SIGTERM) stops accepting but lets in-flight
+        # requests finish — server_close()/interpreter exit joins them.
+        # Bounded: the micro-batcher's request timeout caps how long any
+        # handler can be in flight.
+        daemon_threads = False
 
     return Server((host, port), Handler)
 
@@ -384,6 +390,9 @@ def main() -> None:
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    # Joins in-flight handler threads (daemon_threads=False): every
+    # accepted request gets its response before the process exits.
+    srv.server_close()
     print("daemon stopped", flush=True)
 
 
