@@ -280,6 +280,44 @@ def test_graceful_stop_resume_exact(synth_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", [
+    dict(use_focal=False, use_softmax=False),            # BCE head
+    dict(use_focal=False, use_softmax=True),             # softmax-CE head
+    dict(use_focal=True, use_multi=False),               # focal, single-pos
+    dict(use_focal=True, use_level_path=False),          # focal, flat path
+    dict(mdl_to_use="ssd_vgg", use_focal=False, use_softmax=True),
+], ids=["bce", "softmax", "single_pos", "flat", "ssd_softmax"])
+def test_train_and_eval_step_loss_variant_matrix(synth_root, tmp_path, variant):
+    """Every reference loss-flag combination must run END-TO-END (full
+    train step + eval step), not just at the loss-function unit level —
+    cross-combination breaks (dispatch in make_compute_loss, level-path
+    fallbacks, eval reusing the train variant) only surface here."""
+    import jax
+
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
+    from zsgnet_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = tiny_cfg(synth_root, tmp_path, do_dist=False, nw=1, **variant)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    dev = {k: batch[k] for k in ("img", "qvec", "qlens", "annot")}
+    model = get_default_net(cfg, vocab_size=len(data.vocab))
+    state = create_train_state(cfg, model, dev, jax.random.PRNGKey(0))
+    anchors = anchor_pyramid_for(cfg)
+
+    state, ls = make_train_step(cfg, anchors, mesh=None)(state, dev)
+    assert np.isfinite(float(ls["total"])), (variant, ls)
+    assert float(ls["num_pos"]) > 0
+    ev = make_eval_step(cfg, anchors, mesh=None)(state, dev)
+    assert np.isfinite(np.asarray(ev["loss"])).all()
+    assert np.asarray(ev["iou"]).shape == (cfg.bs,)
+
+
 def test_plateau_scheduler_semantics():
     """Epoch-granular ReduceLROnPlateau on the val metric (VERDICT r1 #3)."""
     from zsgnet_tpu.train.learner import PlateauScheduler
