@@ -152,3 +152,64 @@ def test_jpeg_load_float_and_grayscale(rng):
 
 def test_image_load_rejects_garbage():
     assert native.image_load_u8(b"not an image at all", (8, 8)) is None
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: malformed inputs must NEVER crash the process — they return None
+# (caller falls back to PIL) or a well-formed array. This drives the C
+# error paths (PNG inflate bail-outs; libjpeg's setjmp/longjmp handler,
+# including the mid-scanline abort the `volatile` fix covers).
+
+
+def _assert_result_wellformed(out, resize_hw):
+    if out is None:
+        return
+    img, orig = out
+    assert img.shape == (*resize_hw, 3) and img.dtype == np.uint8
+    assert len(orig) == 2
+
+
+def test_fuzz_truncated_png(rng):
+    arr = rng.integers(0, 256, size=(60, 80, 3)).astype(np.uint8)
+    png = _png_bytes(arr)
+    for frac in np.linspace(0.02, 0.98, 25):
+        cut = png[: max(int(len(png) * frac), 1)]
+        _assert_result_wellformed(native.image_load_u8(cut, (32, 32)), (32, 32))
+
+
+@pytest.mark.skipif(not native.has_jpeg(), reason="no libjpeg")
+def test_fuzz_truncated_jpeg(rng):
+    arr = (rng.normal(0.5, 0.2, size=(60, 80, 3)).clip(0, 1) * 255).astype(np.uint8)
+    jpg = _jpeg_bytes(arr)
+    for frac in np.linspace(0.02, 0.98, 25):
+        cut = jpg[: max(int(len(jpg) * frac), 1)]
+        _assert_result_wellformed(native.image_load_u8(cut, (32, 32)), (32, 32))
+
+
+def test_fuzz_bitflipped_files(rng):
+    """Random single-byte corruptions across the whole file, both codecs."""
+    arr = rng.integers(0, 256, size=(48, 48, 3)).astype(np.uint8)
+    blobs = [_png_bytes(arr)]
+    if native.has_jpeg():
+        blobs.append(_jpeg_bytes(arr))
+    for blob in blobs:
+        b = bytearray(blob)
+        for _ in range(60):
+            pos = int(rng.integers(0, len(b)))
+            old = b[pos]
+            b[pos] = int(rng.integers(0, 256))
+            _assert_result_wellformed(
+                native.image_load_u8(bytes(b), (24, 24)), (24, 24)
+            )
+            b[pos] = old  # one flip at a time
+
+
+def test_fuzz_magic_plus_noise(rng):
+    """Valid signatures followed by noise — the headers parse, the body
+    doesn't; decode must bail cleanly at any noise length."""
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    jpeg_soi = b"\xff\xd8\xff\xe0"
+    for sig in (png_sig, jpeg_soi):
+        for n in (0, 1, 7, 64, 1024, 65536):
+            noise = sig + bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            _assert_result_wellformed(native.image_load_u8(noise, (16, 16)), (16, 16))

@@ -106,6 +106,11 @@ def describe_checkpoint(d: Path) -> dict:
         "opt_state": f"{o_elem / 1e6:.2f} M ({_human(o_bytes)})",
         "restorable_total": _human(p_bytes + s_bytes + o_bytes),
     }
+    ema = restored.get("ema_params")
+    if ema:
+        e_elem, e_bytes = _tree_stats(ema)
+        # cfg.ema_decay > 0 run: Grounder/export serve these weights.
+        info["ema_params"] = f"{e_elem / 1e6:.2f} M ({_human(e_bytes)}) — served"
     best_marker = d / "best_step.txt"
     if best_marker.exists():
         info["best_step"] = int(best_marker.read_text().strip())

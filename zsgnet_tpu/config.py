@@ -83,6 +83,16 @@ class Config:
     # — the BN-free SSD path is bit-exact end to end. bs must be divisible
     # by grad_accum (× mesh size when distributed).
     grad_accum: int = 1
+    # Exponential moving average of params (beyond-reference; standard
+    # detection-serving practice): >0 maintains ema = d·ema + (1-d)·params
+    # inside the jitted step, with the TF-detection warmup schedule
+    # d_t = min(ema_decay, (1+t)/(10+t)) so early steps aren't anchored to
+    # the random init. validate()/testing() and saved checkpoints then
+    # evaluate/serve the EMA weights (best-checkpoint selection included);
+    # the raw params keep training unaffected. 0 = off (reference
+    # behavior). BN running stats are already running averages and are
+    # shared, not separately EMA'd.
+    ema_decay: float = 0.0
     use_reduce_lr_plateau: bool = False
     plateau_factor: float = 0.1
     plateau_patience: int = 2

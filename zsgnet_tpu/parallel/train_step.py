@@ -52,6 +52,9 @@ class TrainState(struct.PyTreeNode):
     lr_scale: Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # EMA of params (cfg.ema_decay > 0), updated inside the jitted step;
+    # None when disabled. Eval/serving read these, training never does.
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -97,6 +100,13 @@ def create_train_state(cfg: Config, model, sample_batch: dict, rng: jax.Array) -
         lr_scale=jnp.ones((), jnp.float32),
         tx=tx,
         apply_fn=model.apply,
+        # EMA starts at the init params; the warmup schedule (see
+        # Config.ema_decay) makes the first steps track params closely.
+        # COPIED buffers: the train step donates the whole state, and a
+        # params/ema alias would be the same buffer donated twice.
+        ema_params=(
+            jax.tree.map(jnp.copy, params) if cfg.ema_decay > 0 else None
+        ),
     )
 
 
@@ -343,11 +353,26 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         # Plateau LR: host-set multiplier (see TrainState.lr_scale).
         updates = jax.tree.map(lambda u: u * state.lr_scale.astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if cfg.ema_decay > 0 and new_ema is not None:
+            # TF-detection warmup: d_t = min(decay, (1+t)/(10+t)), t = the
+            # completed-step count BEFORE this update (step 0 → d=0.1), so
+            # the EMA forgets the random init quickly and converges to the
+            # configured decay. Updated against the POST-update params —
+            # ema after N steps is a function of the param trajectory only.
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(cfg.ema_decay), (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree.map(
+                lambda e, p: e * d.astype(e.dtype)
+                + p.astype(e.dtype) * (1.0 - d).astype(e.dtype),
+                new_ema, new_params,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, ls
 

@@ -313,7 +313,11 @@ class Grounder:
                 )
         vocab = Vocab.load(vocab_path)
         restored = CheckpointManager(ckpt_dir).restore()
-        variables = {"params": restored["params"]}
+        # EMA checkpoints (cfg.ema_decay > 0) carry the smoothed serving
+        # weights beside the raw training params — serve those: the best-
+        # checkpoint selection was made on EMA val metrics.
+        ema = restored.get("ema_params")
+        variables = {"params": ema if ema else restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
         return cls(cfg, vocab, variables, batch_size, quantize=quantize, mesh=mesh)

@@ -49,6 +49,22 @@ class CheckpointManager:
         self.mngr.wait_until_finished()
         return self.mngr.latest_step()
 
+    def top_level_keys(self, step: int | None = None) -> list[str] | None:
+        """Top-level payload keys of a checkpoint, or None if unreadable.
+
+        Lets callers adapt restore templates to OPTIONAL array subtrees
+        (e.g. ``ema_params``: present only when the saving run had
+        ``cfg.ema_decay > 0``) — scalars are handled by
+        :meth:`_adapt_template`, but array subtrees must match exactly."""
+        self.mngr.wait_until_finished()
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None
+        try:
+            return list(self.mngr.item_metadata(step).keys())
+        except Exception:
+            return None
+
     def restore(self, step: int | None = None, template: dict[str, Any] | None = None) -> dict[str, Any]:
         self.mngr.wait_until_finished()
         step = step if step is not None else self.mngr.latest_step()

@@ -143,8 +143,16 @@ class Learner:
             table, found = load_embedding_table(
                 cfg.glove_path, data.vocab, cfg.emb_dim, cfg.seed
             )
+            new_params = apply_embedding_init(self.state.params, table)
             self.state = self.state.replace(
-                params=apply_embedding_init(self.state.params, table)
+                params=new_params,
+                # EMA re-seeds from the embedding-initialized params (a
+                # COPY — the donated state must never alias buffers).
+                ema_params=(
+                    jax.tree.map(jax.numpy.copy, new_params)
+                    if self.state.ema_params is not None
+                    else None
+                ),
             )
             if is_main_process():
                 print(f"glove init: {found}/{len(data.vocab)} vocab words found")
@@ -391,11 +399,22 @@ class Learner:
         self.ckpt_best.wait()
 
     # ------------------------------------------------------------------
+    def _eval_state(self):
+        """State used for validation/testing: the EMA weights when
+        ``cfg.ema_decay > 0`` (standard detection practice — the smoothed
+        trajectory is what gets evaluated, checkpoint-selected, and
+        served; the raw params keep training). Same pytree structure, so
+        the jitted eval step never retraces."""
+        if self.cfg.ema_decay > 0 and self.state.ema_params is not None:
+            return self.state.replace(params=self.state.ema_params)
+        return self.state
+
     def _run_eval(self, dl, dump: str | None = None) -> dict[str, float]:
         evaluator = Evaluator(self.cfg.acc_iou_threshold)
         multi_host = jax.process_count() > 1
+        eval_state = self._eval_state()
         for sharded, batch in self._device_prefetch(dl):
-            ev = self.eval_step(self.state, sharded)
+            ev = self.eval_step(eval_state, sharded)
             cases, ids, valid = batch.get("case"), batch.get("idxs"), batch.get("valid")
             if multi_host:
                 # Per-sample outputs are sharded across hosts; gather so
@@ -481,6 +500,10 @@ class Learner:
             "plateau_best": float(self.plateau.best),
             "plateau_num_bad": int(self.plateau.num_bad),
         }
+        if self.state.ema_params is not None:
+            # Serving/eval weights (cfg.ema_decay): Grounder/export prefer
+            # these over the raw params when present.
+            payload["ema_params"] = self.state.ema_params
         self._write_sidecars()
         self.ckpt.save(int(self.state.step), payload)
         if best:
@@ -536,6 +559,12 @@ class Learner:
             "best_metric": 0.0,
             "lr_scale": 1.0,
         }
+        # ema_params is an OPTIONAL array subtree: present iff the saving
+        # run had cfg.ema_decay > 0. Match the template to the disk (array
+        # subtrees must agree exactly; train/checkpoint.py).
+        disk_keys = mngr.top_level_keys(step=step)
+        if disk_keys is not None and "ema_params" in disk_keys:
+            template["ema_params"] = self.state.params
         if strict:
             restored = mngr.restore(step=step, template=template)
             params = restored["params"]
@@ -559,9 +588,21 @@ class Learner:
         self.plateau.scale = self._lr_scale_host
         self.plateau.best = float(restored.get("plateau_best", float("-inf")))
         self.plateau.num_bad = int(restored.get("plateau_num_bad", 0))
+        if self.state.ema_params is not None:
+            # EMA run: continue the saved EMA trajectory, or re-seed it
+            # from the loaded weights (pre-EMA / converted checkpoints).
+            # Re-seeds COPY: the train step donates the state, and a
+            # params/ema buffer alias would be donated twice.
+            ema = restored.get("ema_params") if strict else None
+            if ema is None:
+                ema = jax.tree.map(jax.numpy.copy, params)
+        else:
+            ema = None  # cfg.ema_decay=0: raw params train/serve (any
+            #             saved EMA stays on disk, unused)
         self.state = self._replicate(
             self.state.replace(
                 params=params, opt_state=opt_state, batch_stats=stats,
+                ema_params=ema,
                 step=jax.numpy.asarray(restored.get("step", 0), jax.numpy.int32),
                 lr_scale=jax.numpy.asarray(self._lr_scale_host, jax.numpy.float32),
             )
