@@ -100,6 +100,34 @@ def test_batched_form_and_errors(server):
     assert code == 400 and "no such image" in out["error"]
 
 
+def test_multiquery_form(server):
+    """'queries' form: one image × N phrases → one shared-backbone pass;
+    results equal N independent single-query requests."""
+    g, url, img_path = server
+    queries = ["the red box", "a blue ellipse", "the left thing"]
+    code, out = _post(url, {"queries": queries, "image_path": str(img_path)})
+    assert code == 200 and len(out["results"]) == 3
+    direct = g.ground([img_path] * 3, queries)
+    for served, d in zip(out["results"], direct):
+        np.testing.assert_allclose(served["box_xyxy"], d["box_xyxy"], atol=1e-4)
+        assert abs(served["score"] - d["score"]) < 1e-6
+    # b64 body ships ONE image; original-pixel coordinates still restore.
+    code, via_b64 = _post(url, {
+        "queries": queries,
+        "image_b64": base64.b64encode(img_path.read_bytes()).decode(),
+    })
+    assert code == 200
+    for served, d in zip(via_b64["results"], direct):
+        np.testing.assert_allclose(served["box_xyxy"], d["box_xyxy"], atol=1e-4)
+    # Contract errors: empty list, and 'queries' nested under 'requests'.
+    code, out = _post(url, {"queries": [], "image_path": str(img_path)})
+    assert code == 400 and "queries" in out["error"]
+    code, out = _post(url, {"requests": [
+        {"queries": queries, "image_path": str(img_path)}
+    ]})
+    assert code == 400 and "top-level" in out["error"]
+
+
 def test_serve_from_exported_artifact(server, tmp_path):
     """load_server_model auto-detects an export.json dir and serves the
     StableHLO artifact with results equal to the live-checkpoint daemon."""

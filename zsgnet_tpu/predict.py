@@ -243,13 +243,16 @@ class Grounder:
             self._infer_latency_fn = _make_infer(self._latency_model)
             self._infer_latency = jit_opts(self._infer_latency_fn)
 
-    def warmup(self) -> None:
+    def warmup(self, multiquery: bool = False) -> None:
         """Compile every shape bucket now instead of on first use — cold
         compiles run seconds to minutes (remote-compiler tunnels), and a
         daemon that lazily compiles turns its first request per bucket
-        into a latency cliff. Quantized Grounders must be calibrated
-        first: grounding zeros would bake garbage activation scales, so
-        an uncalibrated int8 Grounder skips (and says so)."""
+        into a latency cliff. ``multiquery=True`` additionally compiles
+        the shared-backbone ``ground_image`` buckets (image batch 1 ×
+        each query bucket — distinct programs). Quantized Grounders must
+        be calibrated first: grounding zeros would bake garbage
+        activation scales, so an uncalibrated int8 Grounder skips (and
+        says so)."""
         if self.quantize and "quant" not in self.variables:
             print(
                 "Grounder.warmup: skipped — int8 serving calibrates on the "
@@ -260,6 +263,9 @@ class Grounder:
         zero = np.zeros((h, w, 3), np.uint8)
         for b in self.bucket_sizes:
             self.ground([zero] * b, ["warm up"] * b)
+        if multiquery and self._mesh is None:
+            for b in self.bucket_sizes:
+                self.ground_image(zero, ["warm up"] * b)
 
     def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
         """Record per-conv activation scales from one representative batch
@@ -321,6 +327,67 @@ class Grounder:
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
         return cls(cfg, vocab, variables, batch_size, quantize=quantize, mesh=mesh)
+
+    def ground_image(
+        self, image: "str | Path | np.ndarray", queries: list[str]
+    ) -> list[dict]:
+        """Ground N queries against ONE image with a single backbone pass
+        per chunk — the dominant grounding workload shape (Flickr30k
+        Entities averages ~5 phrases per image; the reference recomputes
+        the backbone for every pair).
+
+        Exactness: ``ZSGNet``'s decomposed fusion head broadcasts a
+        batch-1 visual stream against a batch-N language stream — the
+        conv0 visual term, the grid term, and the whole backbone+FPN run
+        once at image batch 1 and broadcast into the per-query head sum
+        (models/zsgnet.py PredictionHead), so the math is identical to
+        tiling the image N times. Only the head convs 1..out and the
+        BiLSTM pay per query. Equality-tested against the per-pair path
+        in tests/test_multiquery.py; chip numbers in BASELINE.md.
+
+        Also a transport win for remote serving: callers ship ONE image's
+        bytes instead of N copies (the daemon's '"queries": [...]' form).
+
+        Query counts chunk over the same shape buckets as ``ground``;
+        each chunk is one program invocation (one backbone pass). Mesh
+        Grounders fall back to the per-pair path — a batch-1 image can't
+        shard over the data axis.
+        """
+        if self._mesh is not None:
+            return self.ground([image] * len(queries), queries)
+        n = len(queries)
+        if n == 0:
+            return []
+        h, w = self.cfg.resize_img
+        if isinstance(image, np.ndarray):
+            arr = image.astype(np.uint8)
+            if arr.shape[:2] != (h, w):
+                raise ValueError("array inputs must be pre-resized")
+            img, orig_hw = arr, (arr.shape[0], arr.shape[1])
+        else:
+            img, orig_hw = _load_image_u8(Path(image), (h, w))
+        img_dev = jnp.asarray(img[None])  # (1, H, W, 3)
+        out: list[dict] = []
+        for start in range(0, n, self.bs):
+            chunk = queries[start : start + self.bs]
+            pad_to = next(b for b in self.bucket_sizes if b >= len(chunk))
+            qvec = np.zeros((pad_to, self.cfg.max_qlen), np.int32)
+            qlens = np.ones((pad_to,), np.int32)
+            for j, q in enumerate(chunk):
+                qvec[j], qlens[j] = self.vocab.encode(q, self.cfg.max_qlen)
+            if self.quantize and "quant" not in self.variables:
+                self.calibrate(img[None], qvec, qlens)
+            infer = (
+                self._infer_latency
+                if self._infer_latency is not None and pad_to <= LATENCY_BATCH_MAX
+                else self._infer
+            )
+            boxes, scores = infer(
+                self.variables, img_dev, jnp.asarray(qvec), jnp.asarray(qlens)
+            )
+            sizes = np.tile(np.asarray(orig_hw, np.float32), (pad_to, 1))
+            out.extend(chunk_results(boxes, scores, sizes, len(chunk)))
+        return out
 
     def ground(
         self, images: list[str | Path | np.ndarray], queries: list[str]

@@ -23,9 +23,15 @@ Endpoints (JSON):
     POST /ground  {"query": str, "image_b64": <base64 PNG/JPEG>}
                   or {"query": str, "image_path": <server-local path>}
                   or {"requests": [<either form>, ...]}
+                  or {"queries": [str, ...], "image_b64"|"image_path": ...}
       → {"box_xyxy": [x1,y1,x2,y2], "box_norm": [...], "score": s}
         (original-image pixel coordinates; lists under "results" for
-        the batched form)
+        the batched and multi-query forms)
+
+The ``queries`` form grounds N phrases against ONE image in a single
+shared-backbone device pass (``Grounder.ground_image``) and ships one
+image's bytes instead of N — the natural shape for phrase-grounding
+workloads (Flickr30k Entities averages ~5 phrases per image).
 
 CLI:
     python -m zsgnet_tpu.serve <ckpt_or_artifact_dir> [--port=8500]
@@ -74,6 +80,21 @@ class _Pending:
     t_submit: float = 0.0  # monotonic enqueue time → /statz latency
 
 
+@dataclass
+class _PendingMulti:
+    """One image × N queries — served by ``Grounder.ground_image`` (one
+    backbone pass). Runs as its own device batch; the worker never mixes
+    it into a single-pair micro-batch (different compiled shapes)."""
+
+    image: object
+    queries: list
+    orig_hw: tuple | None
+    event: threading.Event = field(default_factory=threading.Event)
+    result: list | None = None  # list of per-query dicts
+    error: str | None = None
+    t_submit: float = 0.0
+
+
 class MicroBatcher:
     """Coalesce concurrent ground() calls into full device batches."""
 
@@ -105,6 +126,20 @@ class MicroBatcher:
         )
         with self._stats_lock:
             self._n_requests += 1
+        self._q.put(item)
+        return item
+
+    def submit_multi_async(self, image, queries: list, orig_hw=None) -> _PendingMulti:
+        """Enqueue one image × N queries for the shared-backbone path
+        (``Grounder.ground_image``). Counts as N requests in /statz."""
+        import time
+
+        item = _PendingMulti(
+            image=image, queries=list(queries), orig_hw=orig_hw,
+            t_submit=time.monotonic(),
+        )
+        with self._stats_lock:
+            self._n_requests += len(item.queries)
         self._q.put(item)
         return item
 
@@ -158,17 +193,29 @@ class MicroBatcher:
         import time
 
         bs = self._g.bs
+        carry = None  # a _PendingMulti that interrupted a single-pair drain
         while True:
-            items = [self._q.get()]
+            first = carry if carry is not None else self._q.get()
+            carry = None
+            if isinstance(first, _PendingMulti):
+                self._run_multi(first)
+                continue
+            items = [first]
             deadline = time.monotonic() + self._window
             while len(items) < bs:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    items.append(self._q.get(timeout=remaining))
+                    nxt = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if isinstance(nxt, _PendingMulti):
+                    # Different compiled shape — close out the single-pair
+                    # batch now, run the multi next iteration.
+                    carry = nxt
+                    break
+                items.append(nxt)
             try:
                 results = self._g.ground(
                     [it.image for it in items], [it.query for it in items]
@@ -199,6 +246,47 @@ class MicroBatcher:
                     self._latencies.extend(now - it.t_submit for it in items)
                 for it in items:
                     it.event.set()
+
+    def _run_multi(self, item: _PendingMulti) -> None:
+        """One shared-backbone invocation for image × N queries."""
+        import time
+
+        try:
+            if hasattr(self._g, "ground_image"):
+                results = self._g.ground_image(item.image, item.queries)
+            else:
+                # Exported StableHLO artifacts are lowered for fixed
+                # (image, query) pair batches — serve the form per-pair.
+                results = self._g.ground(
+                    [item.image] * len(item.queries), item.queries
+                )
+            if item.orig_hw is not None:
+                oh, ow = item.orig_hw
+                results = [
+                    {
+                        **res,
+                        "box_xyxy": [
+                            (res["box_norm"][1] + 1) * ow / 2,
+                            (res["box_norm"][0] + 1) * oh / 2,
+                            (res["box_norm"][3] + 1) * ow / 2,
+                            (res["box_norm"][2] + 1) * oh / 2,
+                        ],
+                    }
+                    for res in results
+                ]
+            item.result = results
+        except Exception as e:
+            item.error = f"{type(e).__name__}: {e}"
+        finally:
+            now = time.monotonic()
+            n = len(item.queries)
+            with self._stats_lock:
+                self._n_batches += 1
+                self._fill_sum += n
+                if item.error:
+                    self._n_errors += n
+                self._latencies.extend([now - item.t_submit] * n)
+            item.event.set()
 
 
 def load_server_model(model_dir: str | Path, batch_size: int = 8,
@@ -255,22 +343,38 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
     resize_hw = tuple(grounder.cfg.resize_img)
     max_body = int(max_body_mb * 1e6)
 
-    def enqueue_one(req: dict) -> _Pending:
-        query = req.get("query")
-        if not isinstance(query, str) or not query.strip():
-            raise ValueError("missing 'query'")
+    def decode_image(req: dict):
+        """→ (image, orig_hw) — decoded array for b64 bytes, path str
+        otherwise (orig_hw None: the Grounder reads it at load time)."""
         if "image_b64" in req:
             from zsgnet_tpu.data.dataset import load_image_bytes_u8
 
             raw = base64.b64decode(req["image_b64"])
-            arr, orig_hw = load_image_bytes_u8(raw, resize_hw)
-            return batcher.submit_async(arr, query, orig_hw=orig_hw)
+            return load_image_bytes_u8(raw, resize_hw)
         if "image_path" in req:
             p = Path(req["image_path"])
             if not p.is_file():
                 raise ValueError(f"no such image: {p}")
-            return batcher.submit_async(str(p), query)
+            return str(p), None
         raise ValueError("need 'image_b64' or 'image_path'")
+
+    def enqueue_one(req: dict) -> _Pending:
+        query = req.get("query")
+        if not isinstance(query, str) or not query.strip():
+            raise ValueError("missing 'query'")
+        image, orig_hw = decode_image(req)
+        return batcher.submit_async(image, query, orig_hw=orig_hw)
+
+    def enqueue_multi(req: dict) -> _PendingMulti:
+        queries = req.get("queries")
+        if (
+            not isinstance(queries, list)
+            or not queries
+            or not all(isinstance(q, str) and q.strip() for q in queries)
+        ):
+            raise ValueError("'queries' must be a non-empty list of strings")
+        image, orig_hw = decode_image(req)
+        return batcher.submit_multi_async(image, queries, orig_hw=orig_hw)
 
     def handle_one(req: dict) -> dict:
         return batcher.wait(enqueue_one(req))
@@ -312,9 +416,21 @@ def make_server(grounder, port: int = 8500, window_ms: float = 5.0,
                 if "requests" in req:
                     # Enqueue ALL before waiting on any — the whole list
                     # coalesces into as few device batches as possible.
+                    if any("queries" in r for r in req["requests"]):
+                        raise ValueError(
+                            "'queries' form must be a top-level request, "
+                            "not an element of 'requests'"
+                        )
                     items = [enqueue_one(r) for r in req["requests"]]
                     self._send(200, {
                         "results": [batcher.wait(it) for it in items]
+                    })
+                elif "queries" in req:
+                    # One image × N queries → ONE backbone pass on device
+                    # (Grounder.ground_image) and one image's bytes on the
+                    # wire instead of N.
+                    self._send(200, {
+                        "results": batcher.wait(enqueue_multi(req))
                     })
                 else:
                     self._send(200, handle_one(req))
