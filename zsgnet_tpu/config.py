@@ -42,6 +42,13 @@ class Config:
     # --- query encoder ---
     emb_dim: int = 300
     glove_path: str = ""         # GloVe/word2vec txt → embedding init
+    # Which splits feed the word dict. "train" mirrors the reference's
+    # train-query word dict (SURVEY §2 item 3). "all" additionally ids
+    # val/test words — the paper's zero-shot mechanism: unseen-split
+    # words get GloVe-initialized rows that training provably never
+    # touches (Adam's update is exactly 0 on zero-grad rows), so they
+    # keep their semantics instead of collapsing onto <unk>.
+    vocab_splits: str = "train"  # train | all
     lstm_dim: int = 256          # per-direction hidden; BiLSTM output = 512
     max_qlen: int = 50           # static pad length for queries
     vocab_size: int = 0          # 0 = derive from dataset vocab at build time

@@ -387,12 +387,28 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
     root = Path(cfg.data_dir)
     csv_dir, img_dir = root / csv_sub, root / img_sub
 
-    vocab_path = csv_dir / "vocab.json"
+    # cfg.vocab_splits="all" ids val/test words too (the zero-shot
+    # mechanism — unseen-split words keep their GloVe rows instead of
+    # collapsing onto <unk>; config.py rationale). Distinct cache name:
+    # the two dicts differ and must not shadow each other on disk.
+    vocab_path = csv_dir / (
+        "vocab.json" if cfg.vocab_splits == "train" else "vocab_all.json"
+    )
     if vocab_path.exists():
         vocab = Vocab.load(vocab_path)
     else:
-        train_df = pd.read_csv(csv_dir / "train.csv")
-        vocab = Vocab.build(str(q) for q in train_df["query"])
+        if cfg.vocab_splits == "train":
+            stems = ["train"]
+        elif cfg.vocab_splits == "all":
+            stems = ["train", "val", "test", cfg.test_split]
+        else:
+            raise ValueError(f"vocab_splits must be train|all, got {cfg.vocab_splits!r}")
+        queries: list[str] = []
+        for stem in dict.fromkeys(stems):  # dedupe, order-stable
+            p = csv_dir / f"{stem}.csv"
+            if p.exists():
+                queries.extend(str(q) for q in pd.read_csv(p)["query"])
+        vocab = Vocab.build(queries)
         vocab.save(vocab_path)
 
     def loader(split: str, shuffle: bool, drop_last: bool) -> BatchLoader | None:

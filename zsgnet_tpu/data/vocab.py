@@ -42,6 +42,20 @@ class Vocab:
                 word_to_id[w] = len(word_to_id)
         return cls(word_to_id)
 
+    def add_word(self, word: str) -> int:
+        """Append ``word`` with the next free id (serving-time OOV slots).
+
+        Ids are append-only, so every previously encoded query keeps its
+        ids — the embedding table just grows a row. Callers own keeping
+        the table in sync (``predict.Grounder`` pre-reserves rows).
+        """
+        if word in self.word_to_id:
+            return self.word_to_id[word]
+        idx = len(self.word_to_id)
+        self.word_to_id[word] = idx
+        self.id_to_word[idx] = word
+        return idx
+
     def encode(self, query: str, max_len: int) -> tuple[list[int], int]:
         """→ (padded id list of length max_len, true length ≥ 1)."""
         ids = [self.word_to_id.get(w, UNK_ID) for w in tokenize(query)][:max_len]

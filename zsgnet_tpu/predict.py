@@ -29,7 +29,7 @@ import numpy as np
 
 from zsgnet_tpu.config import Config, get_default_cfg
 from zsgnet_tpu.data.dataset import _load_image_u8
-from zsgnet_tpu.data.vocab import Vocab
+from zsgnet_tpu.data.vocab import Vocab, tokenize
 from zsgnet_tpu.models.zsgnet import anchor_components_for, get_default_net
 from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 
@@ -37,6 +37,23 @@ from zsgnet_tpu.ops.level_ops import decode_best_box_levels
 # (BASELINE.md canvas A/B): below this batch the packed canvas head wins
 # (B=1: 5.6→1.9 ms), above it the per-level head (+ int8) wins.
 LATENCY_BATCH_MAX = 16
+
+
+def _get_embedding(variables: dict):
+    return variables["params"]["query_enc"]["embed"]["embedding"]
+
+
+def _set_embedding(variables: dict, table) -> dict:
+    """Functionally replace the embedding table leaf (dict or FrozenDict)."""
+    v = dict(variables)
+    p = dict(v["params"])
+    qe = dict(p["query_enc"])
+    em = dict(qe["embed"])
+    em["embedding"] = table
+    qe["embed"] = em
+    p["query_enc"] = qe
+    v["params"] = p
+    return v
 
 
 def prep_chunk(cfg: Config, vocab: Vocab, bs: int, images: list, queries: list):
@@ -94,6 +111,7 @@ class Grounder:
         quantize: bool = False, quant_percentile: float = 0.999,
         bucket_sizes: tuple[int, ...] | None = None,
         mesh: "jax.sharding.Mesh | None" = None,
+        oov_slots: int = 0, glove_path: "str | Path | None" = None,
     ):
         # Data-parallel serving: with a 1-D mesh (parallel.make_mesh),
         # weights replicate and every batch splits over its leading axis —
@@ -143,6 +161,35 @@ class Grounder:
             cfg = cfg.replace(quant_mode="int8")
         self.cfg = cfg
         self.vocab = vocab
+        # Open-vocabulary serving (beyond-reference — the paper's zero-shot
+        # claim made real at serving time): pre-reserve ``oov_slots``
+        # embedding rows so query words outside the training dict get
+        # DISTINCT, meaningful vectors — the word's GloVe row when
+        # ``glove_path`` is set (the mechanism ZSGNet's unseen-word splits
+        # ride on), else a deterministic per-word init — instead of every
+        # unseen word collapsing onto the one trained <unk> row. TPU-
+        # static by construction: the table is padded ONCE here, so
+        # assigning a word later is a host-side row write + re-transfer of
+        # the (V+S, D) leaf — no recompile, no shape change. Words assign
+        # first-come; exhausted slots fall back to <unk> with a warning.
+        self.oov_slots = int(oov_slots)
+        self.glove_path = str(glove_path) if glove_path else None
+        self._oov_warned = False
+        self._glove_offsets: dict[str, int] | None = None
+        if self.oov_slots:
+            emb = np.asarray(_get_embedding(variables), np.float32)
+            if emb.shape[0] != len(vocab):
+                raise ValueError(
+                    f"embedding table has {emb.shape[0]} rows for a "
+                    f"{len(vocab)}-word vocab — cannot reserve OOV slots"
+                )
+            # scale convention matches data/embeddings.py OOV init
+            self._emb_scale = float(emb.std()) * 0.6 or 0.1
+            self._emb_host = np.concatenate(
+                [emb, np.zeros((self.oov_slots, emb.shape[1]), np.float32)]
+            )
+            variables = _set_embedding(variables, jnp.asarray(self._emb_host))
+        self._vocab_rows = len(vocab) + self.oov_slots
         self.variables = variables
         self.bs = batch_size
         # Shape buckets: a partially-filled chunk pads to the SMALLEST
@@ -171,14 +218,14 @@ class Grounder:
                 f"{n_shard}-device mesh"
             )
         self.bucket_sizes = tuple(sorted({*bucket_sizes, batch_size}))
-        self.model = get_default_net(cfg, vocab_size=len(vocab))
+        self.model = get_default_net(cfg, vocab_size=self._vocab_rows)
         # Calibration clips activation scales at a high |x| quantile —
         # pure-max calibration collapses accuracy on trained nets
         # (models/quant.py).
         self._calib_model = (
             get_default_net(
                 cfg.replace(quant_mode=f"calib@{quant_percentile}"),
-                vocab_size=len(vocab),
+                vocab_size=self._vocab_rows,
             )
             if self.quantize
             else None
@@ -239,7 +286,7 @@ class Grounder:
             and min(self.bucket_sizes) <= LATENCY_BATCH_MAX
         ):
             lat_cfg = cfg.replace(head_canvas=True, quant_mode="off")
-            self._latency_model = get_default_net(lat_cfg, vocab_size=len(vocab))
+            self._latency_model = get_default_net(lat_cfg, vocab_size=self._vocab_rows)
             self._infer_latency_fn = _make_infer(self._latency_model)
             self._infer_latency = jit_opts(self._infer_latency_fn)
 
@@ -261,11 +308,12 @@ class Grounder:
             return
         h, w = self.cfg.resize_img
         zero = np.zeros((h, w, 3), np.uint8)
+        # "<unk>" is always in-vocab — warmup must not consume OOV slots
         for b in self.bucket_sizes:
-            self.ground([zero] * b, ["warm up"] * b)
+            self.ground([zero] * b, ["<unk>"] * b)
         if multiquery and self._mesh is None:
             for b in self.bucket_sizes:
-                self.ground_image(zero, ["warm up"] * b)
+                self.ground_image(zero, ["<unk>"] * b)
 
     def calibrate(self, img: "np.ndarray", qvec: "np.ndarray", qlens: "np.ndarray") -> None:
         """Record per-conv activation scales from one representative batch
@@ -277,12 +325,71 @@ class Grounder:
         )
         self.variables = {**self.variables, "quant": qvars["quant"]}
 
+    def _lookup_glove(self, word: str) -> "np.ndarray | None":
+        """GloVe row for ``word`` from ``glove_path`` (lazy byte-offset
+        index built on the first miss; one seek+readline per word after)."""
+        if not self.glove_path:
+            return None
+        if self._glove_offsets is None:
+            offsets: dict[str, int] = {}
+            off = 0
+            with open(self.glove_path, "rb") as f:
+                for line in f:
+                    tok = line.split(b" ", 1)[0].decode("utf-8", "replace")
+                    offsets.setdefault(tok, off)
+                    off += len(line)
+            self._glove_offsets = offsets
+        off = self._glove_offsets.get(word)
+        if off is None:
+            return None
+        with open(self.glove_path, "rb") as f:
+            f.seek(off)
+            parts = f.readline().decode("utf-8").rstrip().split(" ")
+        if len(parts) < self.cfg.emb_dim + 1:
+            return None  # header/malformed row
+        return np.asarray(parts[1 : self.cfg.emb_dim + 1], np.float32)
+
+    def _ensure_vocab(self, queries: list[str]) -> None:
+        """Assign reserved embedding rows to unseen query words (no-op
+        without ``oov_slots``). One device re-transfer per call at most."""
+        if not self.oov_slots:
+            return
+        added = False
+        for q in queries:
+            for w in tokenize(q):
+                if w in self.vocab.word_to_id:
+                    continue
+                if len(self.vocab) >= self._vocab_rows:
+                    if not self._oov_warned:
+                        print(
+                            f"Grounder: all {self.oov_slots} OOV slots in "
+                            "use; further unseen words fall back to <unk>"
+                        )
+                        self._oov_warned = True
+                    continue
+                idx = self.vocab.add_word(w)
+                vec = self._lookup_glove(w)
+                if vec is None:
+                    # deterministic per-word init: distinct unseen words
+                    # stay distinguishable even without a GloVe file
+                    import zlib
+
+                    rng = np.random.default_rng(zlib.crc32(w.encode()))
+                    vec = rng.normal(0, self._emb_scale, self._emb_host.shape[1])
+                self._emb_host[idx] = vec.astype(np.float32)
+                added = True
+        if added:
+            self.variables = _set_embedding(
+                self.variables, jnp.asarray(self._emb_host)
+            )
+
     @classmethod
     def from_checkpoint(
         cls, ckpt_dir: str | Path, vocab_path: str | Path | None = None,
         cfg: Config | None = None, batch_size: int = 8, quantize: bool = False,
         cfg_overrides: dict | None = None,
         mesh: "jax.sharding.Mesh | None" = None,
+        oov_slots: int = 0, glove_path: "str | Path | None" = None,
     ) -> "Grounder":
         """Serve from a bare checkpoint directory.
 
@@ -326,7 +433,10 @@ class Grounder:
         variables = {"params": ema if ema else restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
-        return cls(cfg, vocab, variables, batch_size, quantize=quantize, mesh=mesh)
+        return cls(
+            cfg, vocab, variables, batch_size, quantize=quantize, mesh=mesh,
+            oov_slots=oov_slots, glove_path=glove_path,
+        )
 
     def ground_image(
         self, image: "str | Path | np.ndarray", queries: list[str]
@@ -358,6 +468,7 @@ class Grounder:
         n = len(queries)
         if n == 0:
             return []
+        self._ensure_vocab(queries)
         h, w = self.cfg.resize_img
         if isinstance(image, np.ndarray):
             arr = image.astype(np.uint8)
@@ -400,6 +511,7 @@ class Grounder:
         n = len(images)
         if n == 0:
             return []
+        self._ensure_vocab(queries)
         # Host/device pipeline: jax dispatch is async, and the blocking
         # point is the np.asarray readback in chunk_results — deferring it
         # behind a small window lets chunk i+1's host prep (image decode,
@@ -480,6 +592,9 @@ def main() -> None:
     )
     vocab_path = overrides.pop("vocab", None)
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
+    # open-vocabulary serving: --oov_slots=64 [--glove=glove.6B.300d.txt]
+    oov_slots = int(overrides.pop("oov_slots", "0"))
+    glove_path = overrides.pop("glove", None)
     csv_path = overrides.pop("csv", None)
     if csv_path is not None:
         # Bulk mode: --csv=split.csv --img_dir=images [--out=preds.jsonl]
@@ -491,6 +606,7 @@ def main() -> None:
         g = Grounder.from_checkpoint(
             args[0], vocab_path, batch_size=bs, quantize=quantize,
             cfg_overrides=overrides or None,
+            oov_slots=oov_slots, glove_path=glove_path,
         )
         n = batch_predict(g, csv_path, img_dir, out_path)
         print(f"wrote {n} predictions → {out_path}")
@@ -502,6 +618,7 @@ def main() -> None:
     g = Grounder.from_checkpoint(
         ckpt_dir, vocab_path, batch_size=1, quantize=quantize,
         cfg_overrides=overrides or None,
+        oov_slots=oov_slots, glove_path=glove_path,
     )
     (res,) = g.ground([image], [query])
     x1, y1, x2, y2 = res["box_xyxy"]

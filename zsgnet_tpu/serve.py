@@ -291,7 +291,8 @@ class MicroBatcher:
 
 def load_server_model(model_dir: str | Path, batch_size: int = 8,
                       quantize: bool = False, cfg_overrides: dict | None = None,
-                      data_parallel: bool = False):
+                      data_parallel: bool = False,
+                      oov_slots: int = 0, glove_path: str | None = None):
     """Artifact dir (export.json present) → ExportedGrounder, else
     checkpoint dir → Grounder. Both expose .ground/.cfg/.vocab/.bs.
 
@@ -301,6 +302,11 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
     serving only: exported artifacts are lowered for one device."""
     d = Path(model_dir)
     if (d / "export.json").exists():
+        if oov_slots:
+            raise ValueError(
+                "oov_slots needs a checkpoint dir — exported artifacts "
+                "bake the embedding table as a constant"
+            )
         if data_parallel or int((cfg_overrides or {}).get("mesh_spatial", 1) or 1) > 1:
             raise ValueError(
                 "data_parallel/mesh_spatial serving needs a checkpoint dir — "
@@ -328,7 +334,7 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
         )
     return Grounder.from_checkpoint(
         d, batch_size=batch_size, quantize=quantize, cfg_overrides=cfg_overrides,
-        mesh=mesh,
+        mesh=mesh, oov_slots=oov_slots, glove_path=glove_path,
     )
 
 
@@ -471,6 +477,9 @@ def main() -> None:
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     dp = overrides.pop("data_parallel", "false").lower() in ("1", "true", "yes")
     warm = overrides.pop("warmup", "true").lower() in ("1", "true", "yes")
+    # open-vocabulary serving: --oov_slots=64 [--glove=glove.6B.300d.txt]
+    oov_slots = int(overrides.pop("oov_slots", "0"))
+    glove_path = overrides.pop("glove", None)
     platform = overrides.pop("platform", "")
     if platform:
         # e.g. --platform=cpu for a chip-free smoke run. Must land before
@@ -481,7 +490,7 @@ def main() -> None:
         jax.config.update("jax_platforms", platform)
     g = load_server_model(
         args[0], batch_size=bs, quantize=quantize, cfg_overrides=overrides or None,
-        data_parallel=dp,
+        data_parallel=dp, oov_slots=oov_slots, glove_path=glove_path,
     )
     if warm:
         import time
