@@ -142,10 +142,31 @@ def test_vocab_splits_all_ids_val_only_words(split_root):
     assert "zorblax" in data_all.vocab.word_to_id
     # train-dict words keep existing in the bigger dict
     assert set(data_train.vocab.word_to_id) <= set(data_all.vocab.word_to_id)
-    # the two dicts cache under different names (no shadowing)
+    # the two dicts cache under different names (no shadowing); the
+    # "all" cache keys on which split CSVs fed it (prepping a new split
+    # later must rebuild, not silently reuse a dict missing its words)
     csv_dir = split_root / "synthetic" / "csv_dir"
     assert (csv_dir / "vocab.json").exists()
-    assert (csv_dir / "vocab_all.json").exists()
+    assert list(csv_dir.glob("vocab_all_*train*.json"))
+
+
+def test_missing_train_csv_raises_before_caching_vocab(tmp_path):
+    """A partial data dir must never persist a near-empty word dict."""
+    csv_dir = tmp_path / "synthetic" / "csv_dir"
+    csv_dir.mkdir(parents=True)
+    (csv_dir / "val.csv").write_text("img_id,query,x1,y1,x2,y2\na.png,hi,0,0,1,1\n")
+    cfg = _tiny_cfg(ds_to_use="synthetic", data_dir=str(tmp_path), nw=0)
+    with pytest.raises(FileNotFoundError, match="train.csv"):
+        get_data(cfg)
+    assert not list(csv_dir.glob("vocab*.json"))
+
+
+def test_oov_ignores_tokens_past_max_qlen():
+    """Tokens encode() truncates must not consume OOV slots."""
+    g = _init_grounder(oov_slots=2)
+    long_q = " ".join(["the"] * g.cfg.max_qlen) + " zorblax"
+    g.ground([ZERO], [long_q])
+    assert "zorblax" not in g.vocab.word_to_id
 
 
 def test_training_never_touches_unseen_word_rows(split_root, tmp_path):

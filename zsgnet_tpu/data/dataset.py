@@ -389,25 +389,34 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
 
     # cfg.vocab_splits="all" ids val/test words too (the zero-shot
     # mechanism — unseen-split words keep their GloVe rows instead of
-    # collapsing onto <unk>; config.py rationale). Distinct cache name:
-    # the two dicts differ and must not shadow each other on disk.
+    # collapsing onto <unk>; config.py rationale).
+    if cfg.vocab_splits == "train":
+        stems = ["train"]
+    elif cfg.vocab_splits == "all":
+        stems = list(dict.fromkeys(["train", "val", "test", cfg.test_split]))
+    else:
+        raise ValueError(f"vocab_splits must be train|all, got {cfg.vocab_splits!r}")
+    # train.csv is mandatory — checked BEFORE any cache write, so a
+    # partial data dir can never persist a near-empty word dict that
+    # poisons later runs (every token would encode to <unk>).
+    if not (csv_dir / "train.csv").exists():
+        raise FileNotFoundError(f"missing train.csv under {csv_dir}")
+    present = [s for s in stems if (csv_dir / f"{s}.csv").exists()]
+    # The cache name keys on WHICH splits fed the dict ("all" mode):
+    # prepping testA.csv after a cached build must rebuild, not silently
+    # reuse a dict that is missing exactly the unseen-split words.
     vocab_path = csv_dir / (
-        "vocab.json" if cfg.vocab_splits == "train" else "vocab_all.json"
+        "vocab.json" if cfg.vocab_splits == "train"
+        else "vocab_all_" + "-".join(present) + ".json"
     )
     if vocab_path.exists():
         vocab = Vocab.load(vocab_path)
     else:
-        if cfg.vocab_splits == "train":
-            stems = ["train"]
-        elif cfg.vocab_splits == "all":
-            stems = ["train", "val", "test", cfg.test_split]
-        else:
-            raise ValueError(f"vocab_splits must be train|all, got {cfg.vocab_splits!r}")
         queries: list[str] = []
-        for stem in dict.fromkeys(stems):  # dedupe, order-stable
-            p = csv_dir / f"{stem}.csv"
-            if p.exists():
-                queries.extend(str(q) for q in pd.read_csv(p)["query"])
+        for stem in present:
+            queries.extend(
+                str(q) for q in pd.read_csv(csv_dir / f"{stem}.csv")["query"]
+            )
         vocab = Vocab.build(queries)
         vocab.save(vocab_path)
 

@@ -53,6 +53,20 @@ def load_embedding_table(
     return table, found
 
 
+def set_embedding_param(params: Any, table: Any) -> Any:
+    """Replace the ``query_enc/embed/embedding`` leaf (path-copied; works
+    on dict or FrozenDict trees). The ONE place that knows the embedding
+    leaf's path — ``apply_embedding_init`` and the Grounder's OOV-slot
+    writes both go through it."""
+    new = dict(params)
+    new_qe = dict(new["query_enc"])
+    new_embed = dict(new_qe["embed"])
+    new_embed["embedding"] = table
+    new_qe["embed"] = new_embed
+    new["query_enc"] = new_qe
+    return new
+
+
 def apply_embedding_init(params: Any, table: np.ndarray) -> Any:
     """Return params with query_enc/embed/embedding replaced by ``table``."""
     import jax.numpy as jnp
@@ -60,10 +74,4 @@ def apply_embedding_init(params: Any, table: np.ndarray) -> Any:
     emb = params["query_enc"]["embed"]["embedding"]
     if emb.shape != table.shape:
         raise ValueError(f"embedding shape {emb.shape} != table {table.shape}")
-    new = dict(params)
-    new_qe = dict(new["query_enc"])
-    new_embed = dict(new_qe["embed"])
-    new_embed["embedding"] = jnp.asarray(table)
-    new_qe["embed"] = new_embed
-    new["query_enc"] = new_qe
-    return new
+    return set_embedding_param(params, jnp.asarray(table))

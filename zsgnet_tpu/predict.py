@@ -45,15 +45,9 @@ def _get_embedding(variables: dict):
 
 def _set_embedding(variables: dict, table) -> dict:
     """Functionally replace the embedding table leaf (dict or FrozenDict)."""
-    v = dict(variables)
-    p = dict(v["params"])
-    qe = dict(p["query_enc"])
-    em = dict(qe["embed"])
-    em["embedding"] = table
-    qe["embed"] = em
-    p["query_enc"] = qe
-    v["params"] = p
-    return v
+    from zsgnet_tpu.data.embeddings import set_embedding_param
+
+    return {**dict(variables), "params": set_embedding_param(variables["params"], table)}
 
 
 def prep_chunk(cfg: Config, vocab: Vocab, bs: int, images: list, queries: list):
@@ -189,6 +183,11 @@ class Grounder:
                 [emb, np.zeros((self.oov_slots, emb.shape[1]), np.float32)]
             )
             variables = _set_embedding(variables, jnp.asarray(self._emb_host))
+            if self.glove_path:
+                # Eager: the full-file offset scan must happen at load
+                # time, not inside the daemon's serving thread on the
+                # first unseen word (glove.840B is ~2 GB / 2.2M lines).
+                self._build_glove_index()
         self._vocab_rows = len(vocab) + self.oov_slots
         self.variables = variables
         self.bs = batch_size
@@ -325,20 +324,24 @@ class Grounder:
         )
         self.variables = {**self.variables, "quant": qvars["quant"]}
 
+    def _build_glove_index(self) -> None:
+        """Scan ``glove_path`` once into a word → byte-offset index so a
+        later lookup is one seek+readline. Called at construction time."""
+        offsets: dict[str, int] = {}
+        off = 0
+        with open(self.glove_path, "rb") as f:
+            for line in f:
+                tok = line.split(b" ", 1)[0].decode("utf-8", "replace")
+                offsets.setdefault(tok, off)
+                off += len(line)
+        self._glove_offsets = offsets
+
     def _lookup_glove(self, word: str) -> "np.ndarray | None":
-        """GloVe row for ``word`` from ``glove_path`` (lazy byte-offset
-        index built on the first miss; one seek+readline per word after)."""
+        """GloVe row for ``word`` via the byte-offset index."""
         if not self.glove_path:
             return None
         if self._glove_offsets is None:
-            offsets: dict[str, int] = {}
-            off = 0
-            with open(self.glove_path, "rb") as f:
-                for line in f:
-                    tok = line.split(b" ", 1)[0].decode("utf-8", "replace")
-                    offsets.setdefault(tok, off)
-                    off += len(line)
-            self._glove_offsets = offsets
+            self._build_glove_index()
         off = self._glove_offsets.get(word)
         if off is None:
             return None
@@ -356,7 +359,9 @@ class Grounder:
             return
         added = False
         for q in queries:
-            for w in tokenize(q):
+            # encode() truncates at max_qlen — tokens past it never reach
+            # the model, so they must not consume slots either
+            for w in tokenize(q)[: self.cfg.max_qlen]:
                 if w in self.vocab.word_to_id:
                     continue
                 if len(self.vocab) >= self._vocab_rows:

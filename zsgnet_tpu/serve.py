@@ -224,15 +224,7 @@ class MicroBatcher:
                     if it.orig_hw is not None:
                         # Array inputs report the resized frame; restore the
                         # original pixel scale recorded at decode time.
-                        oh, ow = it.orig_hw
-                        y1, x1, y2, x2 = res["box_norm"]
-                        res = {
-                            **res,
-                            "box_xyxy": [
-                                (x1 + 1) * ow / 2, (y1 + 1) * oh / 2,
-                                (x2 + 1) * ow / 2, (y2 + 1) * oh / 2,
-                            ],
-                        }
+                        res = _rescale_result(res, it.orig_hw)
                     it.result = res
             except Exception as e:  # surface to every waiting client
                 for it in items:
@@ -261,19 +253,7 @@ class MicroBatcher:
                     [item.image] * len(item.queries), item.queries
                 )
             if item.orig_hw is not None:
-                oh, ow = item.orig_hw
-                results = [
-                    {
-                        **res,
-                        "box_xyxy": [
-                            (res["box_norm"][1] + 1) * ow / 2,
-                            (res["box_norm"][0] + 1) * oh / 2,
-                            (res["box_norm"][3] + 1) * ow / 2,
-                            (res["box_norm"][2] + 1) * oh / 2,
-                        ],
-                    }
-                    for res in results
-                ]
+                results = [_rescale_result(res, item.orig_hw) for res in results]
             item.result = results
         except Exception as e:
             item.error = f"{type(e).__name__}: {e}"
@@ -287,6 +267,22 @@ class MicroBatcher:
                     self._n_errors += n
                 self._latencies.extend([now - item.t_submit] * n)
             item.event.set()
+
+
+
+def _rescale_result(res: dict, orig_hw) -> dict:
+    """box_norm (resized frame, normalized tlbr) → box_xyxy in the
+    original pixel frame. The ONE copy of this coordinate math for the
+    daemon's worker paths (predict.chunk_results owns the Grounder's)."""
+    oh, ow = orig_hw
+    y1, x1, y2, x2 = res["box_norm"]
+    return {
+        **res,
+        "box_xyxy": [
+            (x1 + 1) * ow / 2, (y1 + 1) * oh / 2,
+            (x2 + 1) * ow / 2, (y2 + 1) * oh / 2,
+        ],
+    }
 
 
 def load_server_model(model_dir: str | Path, batch_size: int = 8,
@@ -497,7 +493,15 @@ def main() -> None:
 
         t0 = time.time()
         print(f"warming buckets {g.bucket_sizes} …", flush=True)
-        g.warmup()
+        import inspect
+
+        if "multiquery" in inspect.signature(g.warmup).parameters:
+            # also pre-compile the shared-backbone ground_image buckets —
+            # the daemon's '"queries": [...]' form uses distinct (1, b)
+            # programs that a pair-only warmup would leave cold
+            g.warmup(multiquery=True)
+        else:  # ExportedGrounder: serves the multi form per-pair anyway
+            g.warmup()
         print(f"warmed in {time.time() - t0:.0f}s", flush=True)
     srv = make_server(g, port=port, window_ms=window_ms, host=host)
     # Graceful SIGTERM (what a process manager sends): shutdown() must run
