@@ -103,6 +103,18 @@ class Config:
     use_reduce_lr_plateau: bool = False
     plateau_factor: float = 0.1
     plateau_patience: int = 2
+    # Step-granular LR schedules (beyond-reference: the reference's only
+    # scheduler is epoch-granular ReduceLROnPlateau, SURVEY.md §2 item
+    # 10). The scale is computed INSIDE the jitted step from
+    # ``TrainState.step`` (parallel/train_step.py::lr_schedule_scale), so
+    # resume is exact (step is checkpointed), nothing retraces, and it
+    # composes multiplicatively with the plateau ``lr_scale``.
+    lr_schedule: str = "const"  # const | cosine | linear
+    warmup_steps: int = 0       # linear ramp (s+1)/warmup over the first steps
+    # cosine/linear horizon in optimizer steps; 0 → the Learner fills in
+    # epochs × batches-per-epoch at construction time.
+    lr_decay_steps: int = 0
+    lr_min_frac: float = 0.0    # LR floor at the horizon, as a fraction of cfg.lr
     seed: int = 0
     resume: bool = False
     resume_path: str = ""

@@ -81,6 +81,38 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
+def lr_schedule_scale(cfg: Config, step: Array) -> Array:
+    """Multiplicative LR factor at optimizer ``step`` (traced scalar).
+
+    Beyond-reference (SURVEY.md §2 item 10 — the reference ships only
+    epoch-granular ReduceLROnPlateau): linear warmup over
+    ``cfg.warmup_steps`` followed by a ``cfg.lr_schedule`` decay —
+    ``cosine`` (half-cosine to ``lr_min_frac``) or ``linear`` — over
+    ``cfg.lr_decay_steps`` total steps. Pure function of the traced step
+    count, evaluated inside the jitted train step: resume is exact
+    (``TrainState.step`` is checkpointed) and changing nothing here ever
+    retraces. Progress clamps at the horizon, so training past
+    ``lr_decay_steps`` holds the ``lr_min_frac`` floor.
+    """
+    s = step.astype(jnp.float32)
+    scale = jnp.float32(1.0)
+    if cfg.warmup_steps > 0:
+        # (s+1)/w: the first update trains at lr/w, never at 0.
+        scale = jnp.minimum(1.0, (s + 1.0) / jnp.float32(cfg.warmup_steps))
+    if cfg.lr_schedule == "const":
+        return scale
+    horizon = jnp.float32(max(cfg.lr_decay_steps - cfg.warmup_steps, 1))
+    prog = jnp.clip((s - jnp.float32(cfg.warmup_steps)) / horizon, 0.0, 1.0)
+    if cfg.lr_schedule == "cosine":
+        decay = 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+    elif cfg.lr_schedule == "linear":
+        decay = 1.0 - prog
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule}")
+    floor = jnp.float32(cfg.lr_min_frac)
+    return scale * (floor + (1.0 - floor) * decay)
+
+
 def create_train_state(cfg: Config, model, sample_batch: dict, rng: jax.Array) -> TrainState:
     """Initialize params/optimizer — init is jitted (eager init over the
     device tunnel costs minutes; see .claude/skills/verify/SKILL.md)."""
@@ -350,8 +382,14 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             if new_stats:
                 new_stats = jax.lax.pmean(new_stats, axis)  # sync-BN running stats
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        # Plateau LR: host-set multiplier (see TrainState.lr_scale).
-        updates = jax.tree.map(lambda u: u * state.lr_scale.astype(u.dtype), updates)
+        # Plateau LR: host-set multiplier (see TrainState.lr_scale),
+        # composed with the step-granular schedule (lr_schedule_scale;
+        # identity under the const/no-warmup reference defaults). Adam's
+        # update is linear in lr, so scaling updates ≡ scaling lr.
+        scale = state.lr_scale
+        if cfg.lr_schedule != "const" or cfg.warmup_steps > 0:
+            scale = scale * lr_schedule_scale(cfg, state.step)
+        updates = jax.tree.map(lambda u: u * scale.astype(u.dtype), updates)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if cfg.ema_decay > 0 and new_ema is not None:

@@ -91,6 +91,11 @@ class Learner:
     def __init__(self, uid: str, data: DataWrap, cfg: Config, mesh=None):
         self.uid = uid
         self.data = data
+        if cfg.lr_schedule != "const" and cfg.lr_decay_steps == 0:
+            # Default cosine/linear horizon = the full configured run
+            # (config.py::lr_decay_steps). Baked into the step as a
+            # static constant before the lazy make_train_step.
+            cfg = cfg.replace(lr_decay_steps=cfg.epochs * len(data.train_dl))
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else (make_mesh(cfg) if cfg.do_dist else None)
 
@@ -368,6 +373,7 @@ class Learner:
                 "train_time_s": round(train_time, 2),
                 "qps": round((n_batches - epoch_skip) * cfg.bs
                              / max(train_time, 1e-9), 2),
+                "lr": self._effective_lr(),
             }
             self._log_row(row)
             # self.epoch counts COMPLETED epochs; increment before the
@@ -615,6 +621,18 @@ class Learner:
         self.best_metric = float(restored.get("best_metric", -1.0))
 
     # ------------------------------------------------------------------
+    def _effective_lr(self) -> float:
+        """cfg.lr × plateau scale × schedule scale at the current step —
+        the LR the NEXT update will train at (host mirror of the in-step
+        math for the epoch log rows)."""
+        from zsgnet_tpu.parallel.train_step import lr_schedule_scale
+
+        cfg = self.cfg
+        lr = cfg.lr * self._lr_scale_host
+        if cfg.lr_schedule != "const" or cfg.warmup_steps > 0:
+            lr *= float(lr_schedule_scale(cfg, jax.numpy.asarray(int(self.state.step))))
+        return lr
+
     def _log_row(self, row: dict[str, Any]) -> None:
         if not is_main_process():
             return
