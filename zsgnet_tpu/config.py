@@ -154,18 +154,26 @@ class Config:
     data_axis: str = "data"
     # Spatial partitioning (beyond-reference; DDP cannot do this): >1
     # builds a 2-D (data, spatial) mesh and shards the image HEIGHT over
-    # `mesh_spatial` chips. The step is then GSPMD-partitioned (jit +
-    # in_shardings, global-semantics math) — XLA inserts the conv halo
-    # exchanges. Lets the 600² config train/serve with a per-chip batch
-    # smaller than one sample's activations would otherwise allow, and
-    # scales batch-1 latency over chips. Selects the jnp loss paths
-    # (Pallas custom calls can't be auto-partitioned). TRAINING support
-    # is ssd_vgg-only: jax 0.9's partitioner mis-compiles the grad of the
-    # ResNet+FPN forward under a height-sharded image (measured; see
-    # docs/DESIGN.md + tools/check_spatial_gspmd.py) — retina raises.
-    # Eval/serving is exact for both backbones.
+    # `mesh_spatial` chips. Lets the 600² config train/serve with a
+    # per-chip batch smaller than one sample's activations would
+    # otherwise allow, and scales batch-1 latency over chips. Selects
+    # the jnp loss paths (Pallas custom calls can't be auto-partitioned).
+    # Eval/serving is GSPMD-partitioned (jit + in_shardings) and exact
+    # for both backbones. TRAINING implementation per spatial_mode below.
     mesh_spatial: int = 1
     spatial_axis: str = "spatial"
+    # Spatial TRAINING implementation:
+    #   "auto"  — retina: "halo"; ssd_vgg: "gspmd" (each's measured-exact
+    #             path);
+    #   "halo"  — shard_map with explicit ppermute halo exchanges and one
+    #             all_to_all reshard (gather height / split batch) at the
+    #             first non-dividing stage; bypasses the jax-0.9 GSPMD
+    #             grad miscompile on ResNet+FPN (parallel/halo.py).
+    #             Retina-only.
+    #   "gspmd" — jit + in_shardings auto-partitioning; exact for
+    #             ssd_vgg, raises for retina (the measured miscompile —
+    #             tools/check_spatial_gspmd.py).
+    spatial_mode: str = "auto"
     prefetch_depth: int = 2
     remat_backbone: bool = False      # jax.checkpoint over backbone stages
     # Scoped-VMEM budget passed to the TPU compiler for every jitted

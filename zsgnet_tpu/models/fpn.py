@@ -42,15 +42,52 @@ class FPN(nn.Module):
     quant_mode: str = "off"  # int8 serving; see models/quant.py
 
     @nn.compact
-    def __call__(self, feats: Sequence[Array]) -> tuple[Array, ...]:
+    def __call__(
+        self,
+        feats: Sequence[Array],
+        spatial=None,
+        shard_flags: Sequence[bool] | None = None,
+    ) -> tuple[Array, ...]:
+        """``spatial``/``shard_flags``: manual spatial partitioning
+        (parallel/halo.py) — flags say which inputs are still
+        height-sharded. Sharded 3x3 convs halo-exchange; a sharded↔
+        resharded pair is harmonized by resharding the sharded side
+        (batch-split, full height); the top-down nearest upsample needs
+        NO halo when both sides are sharded (src row = floor(dst·in/out)
+        never leaves the shard — integer local heights make the local
+        index map identical to the global one). Every output is
+        RESHARDED before return: the fusion head runs on (B/S,
+        full-height) tensors, untouched math."""
         from zsgnet_tpu.models.quant import conv_for
 
         c3, c4, c5 = feats
-        conv = lambda f, k, s, name: conv_for(  # noqa: E731
-            self.quant_mode, features=f, kernel_size=(k, k), strides=(s, s),
-            padding="VALID" if k == 1 else [(1, 1), (1, 1)],
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
-        )
+        f3, f4, f5 = tuple(shard_flags) if shard_flags else (False, False, False)
+
+        def conv(f, k, s, name, sharded=False):
+            if k == 1:
+                pad = "VALID"
+            else:
+                pad = [(0, 0) if sharded else (1, 1), (1, 1)]
+            return conv_for(
+                self.quant_mode, features=f, kernel_size=(k, k), strides=(s, s),
+                padding=pad, dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            )
+
+        def conv3(x, name, stride, sharded):
+            """3x3 conv, halo-exchanged when the input is sharded.
+            Returns (y, still_sharded)."""
+            if sharded:
+                from zsgnet_tpu.parallel.halo import halo_plan
+
+                plan = halo_plan(x.shape[1], 3, stride, 1)
+                if plan is None:
+                    x, sharded = spatial.reshard(x), False
+                else:
+                    return conv(self.out_ch, 3, stride, name, True)(
+                        spatial.halo(x, *plan)
+                    ), True
+            return conv(self.out_ch, 3, stride, name)(x), sharded
+
         p5 = conv(self.out_ch, 1, 1, "lat5")(c5)
         p4 = conv(self.out_ch, 1, 1, "lat4")(c4)
         p3 = conv(self.out_ch, 1, 1, "lat3")(c3)
@@ -58,11 +95,21 @@ class FPN(nn.Module):
         def upsample_to(x: Array, target: Array) -> Array:
             return upsample_nearest_torch(x, (target.shape[1], target.shape[2]))
 
+        if f4 and not f5:  # harmonize: p5 already batch-split
+            p4, f4 = spatial.reshard(p4), False
         p4 = p4 + upsample_to(p5, p4)
+        if f3 and not f4:
+            p3, f3 = spatial.reshard(p3), False
         p3 = p3 + upsample_to(p4, p3)
-        p3 = conv(self.out_ch, 3, 1, "smooth3")(p3)
-        p4 = conv(self.out_ch, 3, 1, "smooth4")(p4)
-        p5 = conv(self.out_ch, 3, 1, "smooth5")(p5)
-        p6 = conv(self.out_ch, 3, 2, "p6")(c5)
-        p7 = conv(self.out_ch, 3, 2, "p7")(nn.relu(p6))
-        return (p3, p4, p5, p6, p7)
+        p3, f3 = conv3(p3, "smooth3", 1, f3)
+        p4, f4 = conv3(p4, "smooth4", 1, f4)
+        p5, fp5 = conv3(p5, "smooth5", 1, f5)
+        p6, f6 = conv3(c5, "p6", 2, f5)  # from c5 — c5's flag, not p5's
+        p7, f7 = conv3(nn.relu(p6), "p7", 2, f6)
+        outs = (p3, p4, p5, p6, p7)
+        if spatial is not None:
+            outs = tuple(
+                spatial.reshard(p) if f else p
+                for p, f in zip(outs, (f3, f4, fp5, f6, f7))
+            )
+        return outs

@@ -49,12 +49,16 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4*features
     stride: int = 1
     dtype: Any = jnp.bfloat16
-    bn_axis: str | None = None  # mesh axis for sync-BN under shard_map
+    bn_axis: Any = None  # mesh axis (or tuple of axes) for sync-BN under shard_map
     bn_variance: str = "exact"  # "exact"|"fast"|"shifted"; see Config
     quant_mode: str = "off"     # int8 serving; see models/quant.py
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False, spatial=None) -> Array:
+        """``spatial`` (parallel.halo.SpatialCtx | None): when set, ``x``
+        arrives height-sharded over the spatial mesh axis and the 3x3
+        conv exchanges halo rows explicitly (the caller guarantees the
+        local height divides the stride — see ResNet50)."""
         # "exact" = torch's E[(x-μ)²], NOT flax's default E[x²]-E[x]²: the
         # fast form's cancellation costs ~4-18% relative error in
         # training-mode BN *gradients* through a ResNet-50 (fp32!),
@@ -81,7 +85,14 @@ class Bottleneck(nn.Module):
         residual = x
         y = conv(self.features, 1, 1, "conv1", "VALID")(x)
         y = nn.relu(norm("bn1")(y))
-        y = conv(self.features, 3, self.stride, "conv2", [(1, 1), (1, 1)])(y)
+        if spatial is not None:
+            from zsgnet_tpu.parallel.halo import halo_plan
+
+            ht, hb = halo_plan(y.shape[1], 3, self.stride, 1)
+            y = conv(self.features, 3, self.stride, "conv2",
+                     [(0, 0), (1, 1)])(spatial.halo(y, ht, hb))
+        else:
+            y = conv(self.features, 3, self.stride, "conv2", [(1, 1), (1, 1)])(y)
         y = nn.relu(norm("bn2")(y))
         y = conv(self.features * 4, 1, 1, "conv3", "VALID")(y)
         y = norm("bn3")(y)
@@ -101,14 +112,27 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
-    bn_axis: str | None = None
+    bn_axis: Any = None
     bn_variance: str = "exact"
     quant_mode: str = "off"
     spd_stem: bool = False  # space-to-depth stem (exact reparam, see below)
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> tuple[Array, Array, Array]:
+    def __call__(self, x: Array, train: bool = False, spatial=None):
+        """``spatial`` (parallel.halo.SpatialCtx | None): manual spatial
+        partitioning — ``x`` arrives height-sharded over the spatial mesh
+        axis; every height-crossing op halo-exchanges explicitly, and the
+        moment a stage's height stops dividing the shard count the tensor
+        is resharded (gather height / split batch — parallel/halo.py).
+        With ``spatial`` set the return value is ``(feats, flags)`` where
+        ``flags[i]`` says whether feats[i] is still height-sharded."""
+        sharded = spatial is not None
         x = x.astype(self.dtype)
+        if sharded and self.spd_stem:
+            # SPD stem under spatial sharding: not worth a halo variant
+            # (the stem is one conv) — fall back to batch-split mode.
+            x = spatial.reshard(x)
+            sharded = False
         # Stem: 7×7/2 (torch pad=3) + BN + ReLU + 3×3/2 maxpool (torch pad=1).
         if self.spd_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # Space-to-depth reparameterization (MLPerf-ResNet TPU trick):
@@ -139,9 +163,20 @@ class ResNet50(nn.Module):
         else:
             from zsgnet_tpu.models.quant import conv_for
 
+            pad_h = (3, 3)
+            if sharded:
+                from zsgnet_tpu.parallel.halo import halo_plan
+
+                plan = halo_plan(x.shape[1], 7, 2, 3)
+                if plan is None:
+                    x = spatial.reshard(x)
+                    sharded = False
+                else:
+                    x = spatial.halo(x, *plan)
+                    pad_h = (0, 0)
             x = conv_for(
                 self.quant_mode, features=64, kernel_size=(7, 7), strides=(2, 2),
-                padding=[(3, 3), (3, 3)], use_bias=False,
+                padding=[pad_h, (3, 3)], use_bias=False,
                 dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
             )(x)
         x = make_batch_norm(
@@ -151,24 +186,51 @@ class ResNet50(nn.Module):
             name="bn1",
         )(x)
         x = nn.relu(x)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        if sharded:
+            from zsgnet_tpu.parallel.halo import halo_plan
+
+            plan = halo_plan(x.shape[1], 3, 2, 1)
+            if plan is None:
+                x = spatial.reshard(x)
+                sharded = False
+        if sharded:
+            # fill=-inf: the ring ends must carry the maxpool's true pad
+            # value — a zero there ties with post-ReLU zero maxima and
+            # mis-routes the pooling BACKWARD (see SpatialCtx.halo).
+            x = spatial.halo(x, *plan, fill=-jnp.inf)
+            x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
-        feats = []
+        feats, flags = [], []
         widths = (64, 128, 256, 512)
         block_cls = Bottleneck
         if self.remat:
-            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+            # (2, 3): train flag and the SpatialCtx — both static
+            # (SpatialCtx is a frozen hashable dataclass; parallel/halo.py).
+            block_cls = nn.remat(Bottleneck, static_argnums=(2, 3))
         for stage_i, (n_blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for block_i in range(n_blocks):
                 stride = 2 if (block_i == 0 and stage_i > 0) else 1
+                if sharded:
+                    from zsgnet_tpu.parallel.halo import halo_plan
+
+                    if halo_plan(x.shape[1], 3, stride, 1) is None:
+                        x = spatial.reshard(x)
+                        sharded = False
                 x = block_cls(
                     features=width, stride=stride, dtype=self.dtype,
                     bn_axis=self.bn_axis,
                     bn_variance=self.bn_variance,
                     quant_mode=self.quant_mode,
                     name=f"layer{stage_i + 1}_{block_i}",
-                )(x, train)
+                )(x, train, spatial if sharded else None)
             if stage_i >= 1:  # C3, C4, C5
                 feats.append(x)
+                flags.append(sharded)
+        if spatial is not None:
+            return tuple(feats), tuple(flags)
         return tuple(feats)  # type: ignore[return-value]

@@ -227,9 +227,25 @@ class ZSGNet(nn.Module):
     vocab_size: int
 
     @nn.compact
-    def __call__(self, inp: dict[str, Array], train: bool = False) -> dict[str, Any]:
+    def __call__(
+        self, inp: dict[str, Array], train: bool = False, spatial=None
+    ) -> dict[str, Any]:
+        """``spatial`` (parallel.halo.SpatialCtx | None): manual spatial
+        partitioning under shard_map — ``img`` arrives height-sharded
+        over the spatial mesh axis, the backbone halo-exchanges and
+        reshards (gather height / split batch), and every output carries
+        batch B/S: this member's batch block (the caller slices
+        annotations the same way via ``SpatialCtx.slice_batch``).
+        BatchNorm then syncs over BOTH mesh axes so the math equals the
+        global single-device batch. Retina-only: ssd_vgg trains exactly
+        under GSPMD already (parallel/halo.py::spatial_train_mode)."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        if spatial is not None and cfg.mdl_to_use != "retina":
+            raise NotImplementedError(
+                "halo spatial partitioning is retina-only; ssd_vgg uses the "
+                "(measured-exact) GSPMD path"
+            )
 
         # uint8 input → fused on-device ImageNet normalization (fp32, so
         # numerics match host-side normalization exactly; tested).
@@ -240,17 +256,32 @@ class ZSGNet(nn.Module):
             inp = dict(inp, img=img)
 
         # --- visual stream ---
+        # Under halo spatial partitioning BN must sync over BOTH axes:
+        # before the reshard point, spatial-group members hold different
+        # ROWS of the same samples — per-shard moments there would
+        # normalize one sample's rows inconsistently (not even DDP-style
+        # semantics), so the sync is forced, matching GSPMD's global math.
+        bn_ax = (
+            (cfg.data_axis, cfg.spatial_axis)
+            if spatial is not None
+            else (cfg.bn_sync_axis or None)
+        )
         if cfg.mdl_to_use == "retina":
-            c_feats = ResNet50(
+            bb = ResNet50(
                 dtype=dtype, remat=cfg.remat_backbone,
-                bn_axis=cfg.bn_sync_axis or None, spd_stem=cfg.spd_stem,
+                bn_axis=bn_ax, spd_stem=cfg.spd_stem,
                 bn_variance=cfg.bn_variance, quant_mode=cfg.quant_mode,
                 name="backbone",
-            )(inp["img"], train)
-            feats = FPN(
+            )
+            fpn = FPN(
                 out_ch=cfg.fpn_ch, dtype=dtype, quant_mode=cfg.quant_mode,
                 name="fpn",
-            )(c_feats)
+            )
+            if spatial is not None:
+                c_feats, sh_flags = bb(inp["img"], train, spatial)
+                feats = fpn(c_feats, spatial=spatial, shard_flags=sh_flags)
+            else:
+                feats = fpn(bb(inp["img"], train))
         elif cfg.mdl_to_use == "ssd_vgg":
             feats = SSDVGG16(
                 out_ch=cfg.fpn_ch, uniform_proj=cfg.ssd_uniform_proj,
@@ -260,13 +291,19 @@ class ZSGNet(nn.Module):
             raise ValueError(f"unknown mdl_to_use: {cfg.mdl_to_use}")
 
         # --- language stream ---
+        qvec, qlens = inp["qvec"], inp["qlens"]
+        if spatial is not None:
+            # The visual stream resharded to this member's batch block;
+            # take the matching block of the (spatially-replicated) queries.
+            qvec = spatial.slice_batch(qvec)
+            qlens = spatial.slice_batch(qlens)
         q_vec = BiLSTMEncoder(
             vocab_size=self.vocab_size,
             emb_dim=cfg.emb_dim,
             hidden=cfg.lstm_dim,
             dtype=dtype,
             name="query_enc",
-        )(inp["qvec"], inp["qlens"])  # (B, 2H)
+        )(qvec, qlens)  # (B, 2H)
 
         # --- fusion + head, per scale (static unroll) ---
         # A single head is shared across scales (use_same_atb, reference

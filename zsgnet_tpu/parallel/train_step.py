@@ -253,10 +253,14 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     Batch arrays must have leading dim divisible by the data-axis size
     (and image height by the spatial-axis size in GSPMD mode).
     """
+    from zsgnet_tpu.parallel.halo import SpatialCtx, spatial_train_mode
     from zsgnet_tpu.parallel.mesh import batch_shardings, is_spatial_mesh
 
     spatial = is_spatial_mesh(mesh, cfg)
-    if spatial and cfg.mdl_to_use == "retina":
+    sp_mode = spatial_train_mode(cfg) if spatial else None
+    halo = sp_mode == "halo"
+    gspmd = spatial and not halo
+    if gspmd and cfg.mdl_to_use == "retina":
         # Measured (tools/check_spatial_gspmd.py, jax 0.9): differentiating
         # the ResNet50+FPN forward with the image height GSPMD-sharded
         # corrupts the program — the loss VALUE shifts +8e-3 relative to
@@ -265,30 +269,51 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         # on mesh layout. Formulation dodges all fail (fast/shifted BN,
         # frozen BN, remat). The trigger is the backward of the spatial
         # resampling stack (stride-2/maxpool/FPN-upsample); SSD-VGG (no
-        # upsample) is exact. Gate it rather than train wrong.
+        # upsample) is exact. The halo path (spatial_mode='halo'/'auto')
+        # bypasses the partitioner with explicit shard_map collectives.
         raise NotImplementedError(
-            "mesh_spatial > 1 training is not supported for mdl_to_use="
-            "'retina': jax 0.9's SPMD partitioner mis-compiles the "
-            "gradient of the ResNet+FPN forward under a height-sharded "
+            "spatial_mode='gspmd' training is not supported for "
+            "mdl_to_use='retina': jax 0.9's SPMD partitioner mis-compiles "
+            "the gradient of the ResNet+FPN forward under a height-sharded "
             "image (loss shifts ~8e-3, grads 1.5-22x off; see "
-            "tools/check_spatial_gspmd.py for the reproduction). Use "
-            "ssd_vgg (exact), grad_accum for HBM relief, or spatial "
-            "EVAL/serving which is unaffected."
+            "tools/check_spatial_gspmd.py). Use spatial_mode='auto'/'halo' "
+            "(manual shard_map halo exchanges, parallel/halo.py), ssd_vgg, "
+            "or spatial EVAL/serving which is unaffected."
         )
-    axis = cfg.data_axis if (mesh is not None and not spatial) else None
+    if halo and cfg.mdl_to_use != "retina":
+        raise NotImplementedError(
+            "spatial_mode='halo' is implemented for retina only; ssd_vgg "
+            "trains exactly under spatial_mode='gspmd'/'auto'"
+        )
+    if halo:
+        # shard_map over BOTH axes: after the backbone's all_to_all
+        # reshard a (data, spatial) mesh is a (data*spatial,) data mesh —
+        # loss partials/grads psum over the tuple.
+        axis: Any = (cfg.data_axis, cfg.spatial_axis)
+    else:
+        axis = cfg.data_axis if (mesh is not None and not spatial) else None
+    halo_ctx = SpatialCtx(cfg.spatial_axis, int(cfg.mesh_spatial)) if halo else None
     compute_loss = make_compute_loss(cfg, anchors_cthw, axis)
 
     def loss_fn(params, batch_stats, batch, apply_fn):
+        kw = {"spatial": halo_ctx} if halo_ctx is not None else {}
         if batch_stats:
             out, new_vars = apply_fn(
                 {"params": params, "batch_stats": batch_stats},
                 _device_batch(batch), train=True, mutable=["batch_stats"],
+                **kw,
             )
             new_stats = new_vars["batch_stats"]
         else:
-            out = apply_fn({"params": params}, _device_batch(batch), train=True)
+            out = apply_fn(
+                {"params": params}, _device_batch(batch), train=True, **kw
+            )
             new_stats = batch_stats
-        ls = compute_loss(out, batch["annot"])
+        annot = (
+            halo_ctx.slice_batch(batch["annot"]) if halo_ctx is not None
+            else batch["annot"]
+        )
+        ls = compute_loss(out, annot)
         return ls["total"], (ls, new_stats)
 
     k = max(int(cfg.grad_accum), 1)
@@ -349,9 +374,10 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         s0 = {key: jnp.zeros((), jnp.float32)
               for key in ("total", "cls_ls", "box_ls", "num_pos")}
         n0 = jnp.zeros((), jnp.float32)
-        if spatial:
+        if gspmd:
             # Unrolled: grad-of-scan over sharded microbatches is
-            # mis-partitioned by GSPMD (see docstring).
+            # mis-partitioned by GSPMD (see docstring). The halo path is
+            # shard_map (no partitioner) — scan is safe there.
             carry = (state.batch_stats, g0, s0, n0)
             for i in range(k):
                 carry, _ = body(carry, jax.tree.map(lambda x: x[i], micro))
@@ -418,7 +444,7 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     if mesh is None:
         return jax.jit(step_shard, donate_argnums=0, compiler_options=opts)
 
-    if spatial:
+    if gspmd:
         from jax.sharding import NamedSharding
 
         repl = NamedSharding(mesh, P())
@@ -429,6 +455,26 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             donate_argnums=0,
             compiler_options=opts,
         )
+
+    if halo:
+        # Manual spatial partitioning: 2-D shard_map, image height on the
+        # spatial axis, queries/annotations replicated within each
+        # spatial group (the model/loss slice their member's batch block
+        # after the backbone reshard — parallel/halo.py).
+        batch_specs = {
+            "img": P(cfg.data_axis, cfg.spatial_axis),
+            "qvec": P(cfg.data_axis),
+            "qlens": P(cfg.data_axis),
+            "annot": P(cfg.data_axis),
+        }
+        sharded = shard_map(
+            step_shard,
+            mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=0, compiler_options=opts)
 
     state_spec = P()
     batch_spec = P(axis)
