@@ -34,7 +34,10 @@ import numpy as np
 # module docstring + BASELINE.md "Measured baseline" (was: a bare 150
 # guess in round 1).
 V100_REF_QPS = 307.0
-BATCH = 128  # best measured batch (B=64: 4093 qps, B=128: 4386, B=256: 4283)
+# Best measured batch. Sweep (pre-vmem-default): B=64 4093, B=128 4386,
+# B=256 4283 qps; with the shipped tpu_vmem_kib=24576 default the B=128
+# headline measures 4593-4609 (BENCH_r03) — the ordering is unchanged.
+BATCH = 128
 WARMUP = 3
 ITERS = 100  # long loop + value-fetch close: the remote-tunnel runtime's
 #              block_until_ready under-reports short loops (see

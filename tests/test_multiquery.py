@@ -126,3 +126,240 @@ def test_warmup_multiquery_compiles(rng):
     g.warmup(multiquery=True)  # must not raise; compiles (1, b) programs
     res = g.ground_image(_image(rng), QUERIES[:2])
     assert len(res) == 2
+
+
+# ---------------------------------------------------------------------------
+# Grouped multi-query TRAINING (cfg.queries_per_img — VERDICT r3 #4):
+# one backbone pass per image, Q phrases broadcast through the fusion
+# head. Gradient-grade equality with the naive repeated-image flat batch.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_vs_flat(mdl_to_use, tmp_path):
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for
+    from zsgnet_tpu.parallel.train_step import create_train_state, make_train_step
+
+    B, Q = 2, 3
+    base = dict(
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, opt_to_use="sgd", lr=1e-2, mdl_to_use=mdl_to_use,
+        tmp_path=str(tmp_path),
+    )
+    cfg_flat = Config(**base, bs=B * Q)
+    cfg_grp = Config(**base, bs=B, queries_per_img=Q)
+    vocab = Vocab.build(QUERIES)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, size=(B, 64, 64, 3)).astype(np.uint8)
+    qvec = np.ones((B, Q, 8), np.int32)
+    qlens = np.zeros((B, Q), np.int32)
+    for i in range(B):
+        for j in range(Q):
+            ids, ln = vocab.encode(QUERIES[(i * Q + j) % len(QUERIES)], 8)
+            qvec[i, j], qlens[i, j] = ids, ln
+    annot = np.stack(
+        [
+            rng.uniform(-1, -0.05, (B, Q)), rng.uniform(-1, -0.05, (B, Q)),
+            rng.uniform(0.05, 1, (B, Q)), rng.uniform(0.05, 1, (B, Q)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    # pair-major flat batch: image i repeated Q times
+    flat = {
+        "img": np.repeat(imgs, Q, axis=0),
+        "qvec": qvec.reshape(B * Q, 8),
+        "qlens": qlens.reshape(B * Q),
+        "annot": annot.reshape(B * Q, 4),
+    }
+    grouped = {"img": imgs, "qvec": qvec, "qlens": qlens, "annot": annot}
+
+    model_f = get_default_net(cfg_flat, vocab_size=len(vocab))
+    model_g = get_default_net(cfg_grp, vocab_size=len(vocab))
+    anchors = anchor_pyramid_for(cfg_flat)
+    state_f = create_train_state(cfg_flat, model_f, flat, jax.random.PRNGKey(1))
+    state_g = create_train_state(cfg_grp, model_g, grouped, jax.random.PRNGKey(1))
+    for a, b in zip(jax.tree.leaves(state_f.params), jax.tree.leaves(state_g.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step_flat = make_train_step(cfg_flat, anchors, None)
+    # Conditioning control: the SAME flat batch in reversed pair order is
+    # algebraically identical, so its post-step delta from the original
+    # order measures the pure fp32 reduction-order envelope. Measured:
+    # grouped-vs-flat and permuted-vs-flat have the SAME worst-leaf
+    # rel-L2 (0.1016 vs 0.1016 on this retina config — train-mode BN
+    # gradient chains at random init amplify batch-order reassociation).
+    # The assertion is therefore self-calibrating: grouped may not
+    # exceed the control's envelope by more than 2x on any leaf class.
+    perm = np.arange(B * Q)[::-1].copy()
+    flat_p = {k: v[perm] for k, v in flat.items()}
+    state_p = create_train_state(cfg_flat, model_f, flat_p, jax.random.PRNGKey(1))
+
+    sf, lf = step_flat(state_f, flat)
+    sp, lp = step_flat(state_p, flat_p)
+    sg, lg = make_train_step(cfg_grp, anchors, None)(state_g, grouped)
+
+    # Loss and positives are the same quantity; BatchNorm moments too —
+    # every image appears exactly Q times in the flat batch, so batch
+    # mean/var over B·Q repeated rows equal those over the B uniques.
+    np.testing.assert_allclose(float(lf["total"]), float(lg["total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(lf["num_pos"]), float(lg["num_pos"]))
+
+    def worst_rel(t1, t2):
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30)
+            worst = max(worst, rel)
+        return worst
+
+    floor = worst_rel(sf.params, sp.params)
+    delta = worst_rel(sf.params, sg.params)
+    assert delta <= max(2.0 * floor, 1e-5), (
+        f"grouped-vs-flat worst rel {delta:.3e} exceeds 2x the "
+        f"reduction-order floor {floor:.3e}"
+    )
+    if state_f.batch_stats:
+        # BN running stats get the same control-calibrated budget: the
+        # moments are equal as functions, but summing B·Q repeated rows
+        # vs B unique rows reassociates fp32 reductions.
+        floor_s = worst_rel(sf.batch_stats, sp.batch_stats)
+        delta_s = worst_rel(sf.batch_stats, sg.batch_stats)
+        assert delta_s <= max(2.0 * floor_s, 1e-5), (
+            f"grouped-vs-flat batch_stats rel {delta_s:.3e} exceeds 2x "
+            f"the reduction-order floor {floor_s:.3e}"
+        )
+
+
+def test_grouped_training_equals_flat_retina(tmp_path):
+    """Grouped train step ≡ repeated-image flat batch (retina, incl. BN
+    batch-moment equality — repeats don't change moments)."""
+    _grouped_vs_flat("retina", tmp_path)
+
+
+def test_grouped_training_equals_flat_ssd(tmp_path):
+    """Grouped train step ≡ repeated-image flat batch (ssd_vgg, BN-free)."""
+    _grouped_vs_flat("ssd_vgg", tmp_path)
+
+
+def test_grouped_loader_and_learner_fit(tmp_path):
+    """End-to-end grouped pipeline: all-objects synthetic data (2-4
+    phrases per image, the Flickr30k structure) → GroupedDataset units
+    → (B, Q, ...) batches → Learner fit + ungrouped validate. Every
+    (image, phrase) CSV row must appear in at least one unit."""
+    from zsgnet_tpu.data import synthetic
+    from zsgnet_tpu.data.dataset import get_data
+    from zsgnet_tpu.train.learner import Learner
+
+    synthetic.generate(tmp_path / "d", n_train=8, n_val=4, n_test=4,
+                       img_size=64, all_objects=True)
+    cfg = Config(
+        ds_to_use="synthetic", data_dir=str(tmp_path / "d"), bs=4, nw=0,
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, epochs=1, queries_per_img=2,
+        tmp_path=str(tmp_path / "t"), opt_to_use="sgd", lr=1e-3, log_every=1,
+    )
+    data = get_data(cfg)
+    b = data.train_dl.first_batch()
+    assert b["img"].shape == (4, 64, 64, 3)
+    assert b["qvec"].shape == (4, 2, 8)
+    assert b["qlens"].shape == (4, 2) and b["annot"].shape == (4, 2, 4)
+    units = data.train_dl.ds.units
+    n_rows = len(data.train_dl.ds.ds)
+    assert sorted({int(i) for u in units for i in u}) == list(range(n_rows))
+    # eval stays per-pair
+    vb = data.valid_dl.first_batch()
+    assert vb["qvec"].ndim == 2
+
+    learn = Learner("t_grouped", data, cfg)
+    learn.fit(1)
+    m = learn.validate()
+    assert np.isfinite(m["loss"]) and "Acc" in m
+
+
+def test_grouped_composes_with_mesh_and_grad_accum(tmp_path):
+    """Grouped batches under the 1-D data mesh with grad_accum=2 equal
+    the same grouped step on one device (images shard over 'data'; the
+    microbatch scan splits the image axis). BN-free SSD backbone: the
+    exactness protocol — BN microbatch composition differs between
+    layouts by documented design (Config.grad_accum), so retina-grade
+    comparisons need moment-aligned layouts (see
+    test_halo_composes_with_grad_accum in test_spatial.py)."""
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for
+    from zsgnet_tpu.parallel.mesh import make_mesh
+    from zsgnet_tpu.parallel.train_step import create_train_state, make_train_step
+
+    B, Q = 8, 2
+    base = dict(
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        opt_to_use="sgd", lr=1e-2, bs=B, queries_per_img=Q,
+        tmp_path=str(tmp_path), grad_accum=2, mdl_to_use="ssd_vgg",
+    )
+    cfg1 = Config(**base, do_dist=False)
+    cfg_m = Config(**base, do_dist=True, mesh_shape=(4,))
+    vocab = Vocab.build(QUERIES)
+    rng = np.random.default_rng(11)
+    batch = {
+        "img": rng.integers(0, 255, size=(B, 64, 64, 3)).astype(np.uint8),
+        "qvec": np.ones((B, Q, 8), np.int32),
+        "qlens": np.ones((B, Q), np.int32),
+        "annot": np.stack(
+            [
+                rng.uniform(-1, -0.05, (B, Q)), rng.uniform(-1, -0.05, (B, Q)),
+                rng.uniform(0.05, 1, (B, Q)), rng.uniform(0.05, 1, (B, Q)),
+            ],
+            axis=-1,
+        ).astype(np.float32),
+    }
+    for i in range(B):
+        for j in range(Q):
+            ids, ln = vocab.encode(QUERIES[(i + j) % len(QUERIES)], 8)
+            batch["qvec"][i, j], batch["qlens"][i, j] = ids, ln
+
+    m1 = get_default_net(cfg1, vocab_size=len(vocab))
+    mm = get_default_net(cfg_m, vocab_size=len(vocab))
+    anchors = anchor_pyramid_for(cfg1)
+    s1 = create_train_state(cfg1, m1, batch, jax.random.PRNGKey(2))
+    sm = create_train_state(cfg_m, mm, batch, jax.random.PRNGKey(2))
+    mesh = make_mesh(cfg_m)
+
+    s1, l1 = make_train_step(cfg1, anchors, mesh=None)(s1, batch)
+    sm, lm = make_train_step(cfg_m, anchors, mesh=mesh)(sm, batch)
+    np.testing.assert_allclose(float(l1["total"]), float(lm["total"]), rtol=1e-4)
+    np.testing.assert_allclose(float(l1["num_pos"]), float(lm["num_pos"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_grouped_canvas_head_matches_per_level(tmp_path):
+    """Grouped forward through the canvas-packed head equals the grouped
+    per-level head (the exact-reparam claim extends to the grouped
+    broadcast: the border-mask algebra carries the extra query axis)."""
+    B, Q = 2, 3
+    base = dict(
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, bs=B, queries_per_img=Q, tmp_path=str(tmp_path),
+    )
+    cfg_l = Config(**base)
+    cfg_c = Config(**base, head_canvas=True)
+    vocab = Vocab.build(QUERIES)
+    rng = np.random.default_rng(5)
+    batch = {
+        "img": rng.integers(0, 255, size=(B, 64, 64, 3)).astype(np.uint8),
+        "qvec": np.ones((B, Q, 8), np.int32),
+        "qlens": np.full((B, Q), 3, np.int32),
+    }
+    ml = get_default_net(cfg_l, vocab_size=len(vocab))
+    mc = get_default_net(cfg_c, vocab_size=len(vocab))
+    v = jax.jit(lambda r, b: ml.init(r, b, train=False))(jax.random.PRNGKey(0), batch)
+    ol = jax.jit(lambda vv, b: ml.apply(vv, b, train=False))(v, batch)
+    oc = jax.jit(lambda vv, b: mc.apply(vv, b, train=False))(v, batch)
+    assert ol["att_out"].shape[0] == B * Q
+    np.testing.assert_allclose(np.asarray(ol["att_out"]), np.asarray(oc["att_out"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ol["bbx_out"]), np.asarray(oc["bbx_out"]),
+                               rtol=1e-4, atol=1e-5)

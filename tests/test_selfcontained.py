@@ -10,6 +10,7 @@ budget semantics: fit(N) trains until epoch N total, not N more.
 
 import json
 
+import jax
 import numpy as np
 import pytest
 
@@ -158,3 +159,56 @@ def test_mesh_elastic_restore(tmp_path_factory):
     np.testing.assert_allclose(mb["MeanIoU"], m1b["MeanIoU"], atol=1e-5)
     learn_back.fit(3)
     assert learn_back.epoch == 3
+
+
+def test_pre_r3_checkpoint_format_loads(trained, tmp_path_factory):
+    """Format-compat regression fixture (VERDICT r3 #9): a checkpoint
+    written with the FROZEN pre-r3 payload — params/batch_stats/opt_state/
+    step/epoch/best_metric/lr_scale only, NO plateau keys, NO ema_params,
+    NO epoch_batches — must load with fresh counters as load_model_dict
+    claims, even into an EMA-enabled Learner (re-seeds EMA from params).
+    This payload dict is the fixture: it stays frozen here as
+    save_model_dict grows keys."""
+    from zsgnet_tpu.train.checkpoint import CheckpointManager
+
+    root, cfg, learn = trained
+    old_dir = tmp_path_factory.mktemp("pre_r3_ckpt")
+    # ---- frozen pre-r3 writer (do NOT add keys here) ----
+    payload = {
+        "params": learn.state.params,
+        "batch_stats": learn.state.batch_stats,
+        "opt_state": learn.state.opt_state,
+        "step": int(learn.state.step),
+        "epoch": 1,
+        "best_metric": 0.25,
+        "lr_scale": 0.5,
+    }
+    mngr = CheckpointManager(old_dir)
+    mngr.save(int(learn.state.step), payload)
+    mngr.wait()
+    # ----------------------------------------------------
+    data = get_data(cfg)
+    for ema in (0.0, 0.99):  # plain + EMA-enabled loader
+        learn2 = Learner("t_pre_r3", data, cfg.replace(ema_decay=ema))
+        learn2.load_model_dict(path=str(old_dir))
+        assert int(learn2.state.step) == int(learn.state.step)
+        assert learn2.epoch == 1 and learn2.best_metric == 0.25
+        assert float(learn2.state.lr_scale) == 0.5
+        # missing keys → fresh counters (the documented claim)
+        assert learn2.plateau.best == float("-inf")
+        assert learn2.plateau.num_bad == 0
+        assert learn2.plateau.scale == 0.5  # absorbed from lr_scale
+        assert learn2._resume_batches == 0
+        a = np.asarray(
+            next(iter(jax.tree_util.tree_leaves(learn.state.params)))
+        )
+        b = np.asarray(
+            next(iter(jax.tree_util.tree_leaves(learn2.state.params)))
+        )
+        np.testing.assert_array_equal(a, b)
+        if ema:
+            # EMA re-seeded from the loaded params (pre-EMA checkpoint)
+            e = np.asarray(
+                next(iter(jax.tree_util.tree_leaves(learn2.state.ema_params)))
+            )
+            np.testing.assert_array_equal(e, b)

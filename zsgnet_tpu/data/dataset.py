@@ -167,11 +167,19 @@ class ImgQuDataset:
         row = self.df.iloc[i]
         loader = _load_image_u8 if self.cfg.normalize_on_device else _load_image
         img, orig_hw = loader(self.image_dir / str(row["img_id"]), self.cfg.resize_img)
+        out = self.meta_item(i, orig_hw)
+        out["img"] = img
+        return out
+
+    def meta_item(self, i: int, orig_hw: tuple[int, int]) -> dict[str, np.ndarray]:
+        """Everything but the image, given a known original size — the
+        grouped loader decodes each image ONCE and reuses its size for
+        the sibling rows (GroupedDataset)."""
+        row = self.df.iloc[i]
         box_xyxy = _parse_box(row)
         annot = normalize_box_xyxy(box_xyxy, orig_hw)
         ids, qlen = self.vocab.encode(str(row["query"]), self.cfg.max_qlen)
         return {
-            "img": img,
             "qvec": np.asarray(ids, dtype=np.int32),
             "qlens": np.int32(qlen),
             "annot": annot,
@@ -185,6 +193,65 @@ class ImgQuDataset:
 def collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     """Stack a list of sample dicts into one batch dict (reference 'collater')."""
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class GroupedDataset:
+    """Image-grouped view for grouped multi-query training
+    (``cfg.queries_per_img`` — VERDICT r3 #4).
+
+    Each element is one (image, Q phrases) unit built by grouping CSV
+    rows on ``img_id``: ``img`` (H, W, 3) decoded ONCE, ``qvec`` (Q, T),
+    ``qlens``/``idxs``/``case`` (Q,), ``annot``/``orig_annot`` (Q, 4).
+    Batches collate to (B, ...) / (B, Q, ...) — exactly the grouped
+    train-step contract (models/zsgnet.py grouped mode). Images with
+    more than Q phrases contribute multiple units (ceil(n/Q)); a short
+    tail wrap-repeats the image's OWN phrases so shapes stay static —
+    every real (image, phrase) pair appears at least once per epoch.
+
+    Works over both ``ImgQuDataset`` (single decode via ``meta_item``)
+    and ``PackedDataset`` (memmap reads are cheap; per-row fetch).
+    """
+
+    def __init__(self, ds, img_ids, queries_per_img: int):
+        self.ds = ds
+        self.cfg = ds.cfg
+        self.q = int(queries_per_img)
+        groups: dict[str, list[int]] = {}
+        for i, gid in enumerate(img_ids):
+            groups.setdefault(str(gid), []).append(i)
+        self.units: list[list[int]] = []
+        for gid in sorted(groups):
+            idxs = groups[gid]
+            for s in range(0, len(idxs), self.q):
+                chunk = idxs[s : s + self.q]
+                j = 0
+                while len(chunk) < self.q:  # wrap within the image
+                    chunk.append(idxs[j % len(idxs)])
+                    j += 1
+                self.units.append(chunk)
+
+    def __len__(self) -> int:
+        return len(self.units)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        unit = self.units[i]
+        first = self.ds[unit[0]]
+        if hasattr(self.ds, "meta_item"):
+            hw = (float(first["img_size"][0]), float(first["img_size"][1]))
+            rows = [first] + [self.ds.meta_item(j, hw) for j in unit[1:]]
+        else:  # PackedDataset: per-row fetch is a memmap copy
+            rows = [first] + [self.ds[j] for j in unit[1:]]
+        stack = lambda k: np.stack([r[k] for r in rows])  # noqa: E731
+        return {
+            "img": first["img"],
+            "qvec": stack("qvec"),
+            "qlens": stack("qlens"),
+            "annot": stack("annot"),
+            "orig_annot": stack("orig_annot"),
+            "img_size": first["img_size"],
+            "idxs": stack("idxs"),
+            "case": stack("case"),
+        }
 
 
 class BatchLoader:
@@ -420,23 +487,35 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
         vocab = Vocab.build(queries)
         vocab.save(vocab_path)
 
-    def loader(split: str, shuffle: bool, drop_last: bool) -> BatchLoader | None:
+    def loader(
+        split: str, shuffle: bool, drop_last: bool, grouped: bool = False
+    ) -> BatchLoader | None:
         csv_path = csv_dir / f"{split}.csv"
         if not csv_path.exists():
             return None
         ds = ImgQuDataset(csv_path, img_dir, vocab, cfg)
+        img_ids = ds.df["img_id"] if "img_id" in ds.df.columns else None
         if cfg.use_packed_cache:
             from zsgnet_tpu.data.packed import PackedDataset
 
             h, w = cfg.resize_img
             ds = PackedDataset(ds, csv_dir / f"packed_{split}_{h}x{w}")
+        if grouped and cfg.queries_per_img > 1:
+            # Grouped multi-query TRAINING: one backbone pass per image
+            # for Q phrases (config.py queries_per_img; train split only
+            # — eval stays per-pair so metrics weigh every pair once).
+            if img_ids is None:
+                raise ValueError("queries_per_img > 1 needs an img_id column")
+            ds = GroupedDataset(ds, img_ids, cfg.queries_per_img)
         return BatchLoader(
             ds, cfg.bs, shuffle=shuffle, seed=cfg.seed, nw=cfg.nw,
             drop_last=drop_last, shard_id=shard_id, num_shards=num_shards,
             prefetch_depth=cfg.prefetch_depth,
         )
 
-    train_dl = loader("train", shuffle=True, drop_last=True)
+    train_grouped = cfg.queries_per_img > 1
+
+    train_dl = loader("train", shuffle=True, drop_last=True, grouped=train_grouped)
     valid_dl = loader("val", shuffle=False, drop_last=False)
     test_dl = loader(cfg.test_split, shuffle=False, drop_last=False)
     if train_dl is None or valid_dl is None:

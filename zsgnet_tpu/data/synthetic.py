@@ -53,7 +53,12 @@ def generate(
     img_size: int = 128,
     seed: int = 0,
     fmt: str = "png",
+    all_objects: bool = False,
 ) -> Path:
+    """``all_objects=True`` emits one CSV row PER DRAWN OBJECT (2–4
+    distinct color+shape queries per image) instead of one — the
+    multi-phrase-per-image structure Flickr30k Entities has, for
+    exercising grouped multi-query training (cfg.queries_per_img)."""
     """Write the dataset under <root>/synthetic/; returns that path."""
     from PIL import Image
 
@@ -82,22 +87,21 @@ def generate(
                 box = (y1, x1, y1 + s, x1 + s)
                 _draw(img, shape, COLORS[color_names[ci]], box)
                 boxes.append((color_names[ci], shape, box))
-            target = boxes[int(rng.integers(0, n_obj))]
-            cname, shape, (y1, x1, y2, x2) = target
-            query = f"the {cname} {shape}"
             fname = f"{split}_{idx:05d}.{fmt}"
             # JPEG exercises the native libjpeg decode path (real
             # ReferIt/Flickr30k images are JPEG); quality 90 keeps the
             # shapes' colors unambiguous.
             Image.fromarray(img).save(img_dir / fname, quality=90)
-            rows.append(
-                {
-                    "img_id": fname,
-                    "x1": x1, "y1": y1, "x2": x2, "y2": y2,
-                    "query": query,
-                    "case": -1,
-                }
-            )
+            targets = boxes if all_objects else [boxes[int(rng.integers(0, n_obj))]]
+            for cname, shape, (y1, x1, y2, x2) in targets:
+                rows.append(
+                    {
+                        "img_id": fname,
+                        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                        "query": f"the {cname} {shape}",
+                        "case": -1,
+                    }
+                )
             idx += 1
         pd.DataFrame(rows).to_csv(csv_dir / f"{split}.csv", index=False)
     return root

@@ -101,6 +101,15 @@ def lr_schedule_scale(cfg: Config, step: Array) -> Array:
         scale = jnp.minimum(1.0, (s + 1.0) / jnp.float32(cfg.warmup_steps))
     if cfg.lr_schedule == "const":
         return scale
+    if cfg.lr_decay_steps <= 0:
+        # 0 is documented as "the Learner fills it in" and is never a
+        # valid traced horizon — clamping it to 1 would silently collapse
+        # the LR to the lr_min_frac floor after ~one step (ADVICE r3 #2).
+        raise ValueError(
+            f"lr_schedule={cfg.lr_schedule!r} needs lr_decay_steps > 0 "
+            "(the Learner auto-fills epochs x batches; direct "
+            "make_train_step callers must set it)"
+        )
     horizon = jnp.float32(max(cfg.lr_decay_steps - cfg.warmup_steps, 1))
     prog = jnp.clip((s - jnp.float32(cfg.warmup_steps)) / horizon, 0.0, 1.0)
     if cfg.lr_schedule == "cosine":
@@ -166,11 +175,12 @@ def _use_fused_loss(cfg: Config) -> bool:
         if cfg.bs % max(n, 1):
             return False
         per_device_bs = cfg.bs // n
-    # With grad accumulation the kernel sees bs/(devices*grad_accum) rows.
+    # With grad accumulation the kernel sees bs/(devices*grad_accum) rows
+    # (× queries_per_img in grouped multi-query mode — outputs are B·Q).
     k = max(int(cfg.grad_accum), 1)
     if per_device_bs % k:
         return False
-    if (per_device_bs // k) % 8:
+    if (per_device_bs // k) * max(int(cfg.queries_per_img), 1) % 8:
         return False
     import jax
 
@@ -313,6 +323,11 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             halo_ctx.slice_batch(batch["annot"]) if halo_ctx is not None
             else batch["annot"]
         )
+        if annot.ndim == 3:
+            # Grouped multi-query batch (cfg.queries_per_img): model
+            # outputs are (B·Q, ...) pair-major; flatten annotations the
+            # same way — the loss is then exactly the flat-batch loss.
+            annot = annot.reshape(-1, annot.shape[-1])
         ls = compute_loss(out, annot)
         return ls["total"], (ls, new_stats)
 
