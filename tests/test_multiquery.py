@@ -245,7 +245,7 @@ def test_grouped_training_equals_flat_ssd(tmp_path):
 def test_grouped_loader_and_learner_fit(tmp_path):
     """End-to-end grouped pipeline: all-objects synthetic data (2-4
     phrases per image, the Flickr30k structure) → GroupedDataset units
-    → (B, Q, ...) batches → Learner fit + ungrouped validate. Every
+    → (B, Q, ...) batches → Learner fit + grouped validate. Every
     (image, phrase) CSV row must appear in at least one unit."""
     from zsgnet_tpu.data import synthetic
     from zsgnet_tpu.data.dataset import get_data
@@ -268,9 +268,9 @@ def test_grouped_loader_and_learner_fit(tmp_path):
     units = data.train_dl.ds.units
     n_rows = len(data.train_dl.ds.ds)
     assert sorted({int(i) for u in units for i in u}) == list(range(n_rows))
-    # eval stays per-pair
+    # eval groups too (same backbone saving; wrap-repeats masked)
     vb = data.valid_dl.first_batch()
-    assert vb["qvec"].ndim == 2
+    assert vb["qvec"].ndim == 3 and "pair_valid" in vb
 
     learn = Learner("t_grouped", data, cfg)
     learn.fit(1)
@@ -363,3 +363,60 @@ def test_grouped_canvas_head_matches_per_level(tmp_path):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ol["bbx_out"]), np.asarray(oc["bbx_out"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_validation_matches_flat(tmp_path):
+    """Grouped validation ≡ flat per-pair validation, record for record.
+
+    cfg.queries_per_img groups the VAL split too (one backbone pass per
+    image); wrap-repeated pairs inside a unit and wrap-padded tail units
+    are masked (pair_valid × valid), so the evaluator sees every real
+    (image, phrase) pair exactly once — same ids, same IoUs, same Acc as
+    the flat loader. Variable phrases-per-image (all_objects synthetic:
+    2-4) exercises both the wrapping and the multi-unit split paths."""
+    import json
+
+    from zsgnet_tpu.data import synthetic
+    from zsgnet_tpu.data.dataset import get_data
+    from zsgnet_tpu.train.learner import Learner
+
+    synthetic.generate(tmp_path / "d", n_train=6, n_val=7, n_test=2,
+                       img_size=64, all_objects=True)
+    base = dict(
+        ds_to_use="synthetic", data_dir=str(tmp_path / "d"), bs=4, nw=0,
+        resize_img=(64, 64), max_qlen=8, lstm_dim=8, emb_dim=8,
+        fpn_ch=16, head_ch=16, compute_dtype="float32", use_pallas=False,
+        do_dist=False, epochs=1, opt_to_use="sgd", lr=1e-3,
+    )
+    cfg_f = Config(**base, tmp_path=str(tmp_path / "tf"))
+    cfg_g = Config(**base, tmp_path=str(tmp_path / "tg"), queries_per_img=3)
+    lf = Learner("t_gval_f", get_data(cfg_f), cfg_f)
+    lg = Learner("t_gval_g", get_data(cfg_g), cfg_g)
+    # Identical weights: queries_per_img changes batch layout, not params.
+    lg.state = lg.state.replace(
+        params=lf.state.params, batch_stats=lf.state.batch_stats
+    )
+
+    mf = lf.validate()
+    mg = lg.validate()
+    assert mf["num_samples"] == mg["num_samples"], (mf, mg)
+    np.testing.assert_allclose(mg["Acc"], mf["Acc"], atol=1e-9)
+    np.testing.assert_allclose(mg["MaxPos"], mf["MaxPos"], atol=1e-9)
+    np.testing.assert_allclose(mg["MeanIoU"], mf["MeanIoU"], rtol=1e-5)
+
+    def load(learn, uid):
+        recs = {}
+        with open(learn.pred_dir / f"{uid}_val.jsonl") as f:
+            for line in f:
+                r = json.loads(line)
+                assert r["id"] not in recs, "pair counted twice"
+                recs[r["id"]] = r
+        return recs
+
+    rf, rg = load(lf, "t_gval_f"), load(lg, "t_gval_g")
+    assert set(rf) == set(rg)
+    for i in rf:
+        np.testing.assert_allclose(
+            rg[i]["pred_box"], rf[i]["pred_box"], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(rg[i]["iou"], rf[i]["iou"], rtol=1e-4, atol=1e-5)

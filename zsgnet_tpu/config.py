@@ -100,7 +100,9 @@ class Config:
     # per image (serve.py:34), making this a ~3-4x real-data training
     # throughput lever. `bs` counts IMAGES in grouped mode (bs·Q pairs
     # per step). Images with fewer phrases wrap-repeat their own
-    # phrases; eval stays per-pair (ungrouped).
+    # phrases. Validation/testing group too (same backbone saving);
+    # wrap-repeated pairs are masked out of the metrics (pair_valid),
+    # so eval numbers equal the flat per-pair loader's exactly.
     queries_per_img: int = 1
     # Exponential moving average of params (beyond-reference; standard
     # detection-serving practice): >0 maintains ema = d·ema + (1-d)·params

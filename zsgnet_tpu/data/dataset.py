@@ -207,6 +207,10 @@ class GroupedDataset:
     more than Q phrases contribute multiple units (ceil(n/Q)); a short
     tail wrap-repeats the image's OWN phrases so shapes stay static —
     every real (image, phrase) pair appears at least once per epoch.
+    ``pair_valid`` (Q,) marks the non-wrapped positions: training
+    ignores it (seeing a real pair twice is harmless), grouped
+    EVALUATION masks the repeats so every pair is counted exactly once
+    (Learner._run_eval) — metrics equal the flat per-pair loader's.
 
     Works over both ``ImgQuDataset`` (single decode via ``meta_item``)
     and ``PackedDataset`` (memmap reads are cheap; per-row fetch).
@@ -220,10 +224,12 @@ class GroupedDataset:
         for i, gid in enumerate(img_ids):
             groups.setdefault(str(gid), []).append(i)
         self.units: list[list[int]] = []
+        self.n_real: list[int] = []  # per unit: positions before wrapping
         for gid in sorted(groups):
             idxs = groups[gid]
             for s in range(0, len(idxs), self.q):
                 chunk = idxs[s : s + self.q]
+                self.n_real.append(len(chunk))
                 j = 0
                 while len(chunk) < self.q:  # wrap within the image
                     chunk.append(idxs[j % len(idxs)])
@@ -251,6 +257,7 @@ class GroupedDataset:
             "img_size": first["img_size"],
             "idxs": stack("idxs"),
             "case": stack("case"),
+            "pair_valid": (np.arange(self.q) < self.n_real[i]),
         }
 
 
@@ -501,23 +508,30 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
             h, w = cfg.resize_img
             ds = PackedDataset(ds, csv_dir / f"packed_{split}_{h}x{w}")
         if grouped and cfg.queries_per_img > 1:
-            # Grouped multi-query TRAINING: one backbone pass per image
-            # for Q phrases (config.py queries_per_img; train split only
-            # — eval stays per-pair so metrics weigh every pair once).
+            # Grouped multi-query batches: one backbone pass per image
+            # for Q phrases (config.py queries_per_img). Training
+            # requires an img_id column; eval splits fall back to flat
+            # per-pair batches without one (grouping eval is purely a
+            # throughput optimization — wrap-repeated pairs are masked
+            # via pair_valid, so metrics are identical either way).
             if img_ids is None:
-                raise ValueError("queries_per_img > 1 needs an img_id column")
-            ds = GroupedDataset(ds, img_ids, cfg.queries_per_img)
+                if split == "train":
+                    raise ValueError(
+                        "queries_per_img > 1 needs an img_id column"
+                    )
+            else:
+                ds = GroupedDataset(ds, img_ids, cfg.queries_per_img)
         return BatchLoader(
             ds, cfg.bs, shuffle=shuffle, seed=cfg.seed, nw=cfg.nw,
             drop_last=drop_last, shard_id=shard_id, num_shards=num_shards,
             prefetch_depth=cfg.prefetch_depth,
         )
 
-    train_grouped = cfg.queries_per_img > 1
+    grouped = cfg.queries_per_img > 1
 
-    train_dl = loader("train", shuffle=True, drop_last=True, grouped=train_grouped)
-    valid_dl = loader("val", shuffle=False, drop_last=False)
-    test_dl = loader(cfg.test_split, shuffle=False, drop_last=False)
+    train_dl = loader("train", shuffle=True, drop_last=True, grouped=grouped)
+    valid_dl = loader("val", shuffle=False, drop_last=False, grouped=grouped)
+    test_dl = loader(cfg.test_split, shuffle=False, drop_last=False, grouped=grouped)
     if train_dl is None or valid_dl is None:
         raise FileNotFoundError(f"missing train.csv/val.csv under {csv_dir}")
     return DataWrap(path=root, train_dl=train_dl, valid_dl=valid_dl, test_dl=test_dl, vocab=vocab)

@@ -531,18 +531,25 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(variables, _device_batch(batch), train=False)
+        annot = batch["annot"]
+        if annot.ndim == 3:
+            # Grouped multi-query batch (cfg.queries_per_img): model
+            # outputs are (B·Q, ...) pair-major — flatten annotations the
+            # same way; per-pair metrics are then exactly the flat-batch
+            # metrics (the host masks wrap-repeated pairs via pair_valid).
+            annot = annot.reshape(-1, annot.shape[-1])
         if use_levels:
             from zsgnet_tpu.ops.level_ops import eval_batch_levels
 
             ev = eval_batch_levels(
-                out, anchor_comps, batch["annot"], cfg.acc_iou_threshold
+                out, anchor_comps, annot, cfg.acc_iou_threshold
             )
         else:
             ev = eval_batch(
-                out["att_out"], out["bbx_out"], anchors_const, batch["annot"],
+                out["att_out"], out["bbx_out"], anchors_const, annot,
                 cfg.acc_iou_threshold,
             )
-        ls = compute_loss(out, batch["annot"])
+        ls = compute_loss(out, annot)
         total = jax.lax.psum(ls["total"], axis) if axis is not None else ls["total"]
         ev["loss"] = jnp.broadcast_to(total, ev["iou"].shape)
         return ev

@@ -453,6 +453,20 @@ class Learner:
         for sharded, batch in self._device_prefetch(dl):
             ev = self.eval_step(eval_state, sharded)
             cases, ids, valid = batch.get("case"), batch.get("idxs"), batch.get("valid")
+            if batch.get("pair_valid") is not None:
+                # Grouped multi-query eval (cfg.queries_per_img): ev
+                # leaves are (B·Q,) pair-major. Flatten the (B, Q)
+                # metadata the same way; a pair counts only when its
+                # UNIT is real (tail wrap-pad) AND it is not a
+                # within-unit wrap-repeat — so every real (image,
+                # phrase) pair is counted exactly once, same as the
+                # flat loader (tests/test_multiquery.py grouped-val).
+                pv = np.asarray(batch["pair_valid"], dtype=bool)
+                valid = (np.asarray(valid, dtype=bool)[:, None] & pv).reshape(-1)
+                if cases is not None:
+                    cases = np.asarray(cases).reshape(-1)
+                if ids is not None:
+                    ids = np.asarray(ids).reshape(-1)
             if multi_host:
                 # Per-sample outputs are sharded across hosts; gather so
                 # every host accumulates the full (global-batch) metrics
