@@ -53,7 +53,18 @@ def test_linear_decay():
 
 
 def test_unknown_schedule_raises():
-    cfg = Config(lr_schedule="polynomial")
+    # Since the ADVICE-r3 fix, bad enum values fail at Config construction
+    # (before any expensive model init), not at first trace.
+    with pytest.raises(ValueError, match="lr_schedule"):
+        Config(lr_schedule="polynomial")
+
+
+def test_unknown_schedule_raises_at_trace_too():
+    # Defense in depth: a config that dodges __post_init__ validation
+    # (object.__setattr__ on the frozen dataclass) still fails loudly at
+    # trace time rather than silently training at the floor LR.
+    cfg = Config(lr_schedule="const")
+    object.__setattr__(cfg, "lr_schedule", "polynomial")
     with pytest.raises(ValueError, match="lr_schedule"):
         lr_schedule_scale(cfg, jnp.asarray(0, jnp.int32))
 
