@@ -8,7 +8,9 @@ at batch 128 (best measured), bf16 activations, on ONE chip. Metric:
 image-query pairs per second. The headline stays the parity-grade bf16
 number; the JSON also reports ``int8_qps`` — the calibrated int8 serving
 path (per-level head scales; accuracy parity, BASELINE.md int8 table) —
-so the recorded artifact shows the repo's actual serving frontier.
+and ``grouped_q5_qps`` — multi-query grounding at 5 phrases/image (one
+backbone pass per image, the Flickr30k serving regime) — so the recorded
+artifact shows the repo's actual serving frontier.
 
 ``vs_baseline`` compares against the reference running eager-fp32 PyTorch
 on a V100 (its actual regime — a 2019 pure-PyTorch repo, no AMP), derived
@@ -137,6 +139,43 @@ def main() -> None:
     except Exception as e:
         print(f"# int8 path skipped: {type(e).__name__}: {e}", flush=True)
 
+    # Grouped multi-query serving (cfg.queries_per_img machinery, VERDICT
+    # r3 missing #4): one backbone pass per IMAGE, Q phrase broadcasts —
+    # the real-data serving regime (Flickr30k Entities averages ~5
+    # phrases/image, SURVEY §2.12). 26 img × 5 queries = 130 pairs,
+    # nearest grouping to the B=128 flat protocol. Guarded like int8.
+    grouped_qps = None
+    try:
+        gb, gq = 26, 5
+        gbatch = {
+            "img": batch["img"][:gb],
+            "qvec": jax.numpy.asarray(
+                rng.integers(1, 10000, size=(gb, gq, cfg.max_qlen)).astype(
+                    np.int32
+                )
+            ),
+            "qlens": jax.numpy.asarray(
+                rng.integers(3, 12, size=(gb, gq)).astype(np.int32)
+            ),
+        }
+
+        @partial(jax.jit, compiler_options=copts)
+        def infer_grouped(variables, gbatch):
+            out = model.apply(variables, gbatch, train=False)
+            return decode_best_box_levels(
+                out["att_levels"], out["delta_levels"], anchor_comps
+            )
+
+        for _ in range(WARMUP):
+            jax.block_until_ready(infer_grouped(variables, gbatch))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            gout = infer_grouped(variables, gbatch)
+        float(jax.numpy.sum(gout[0]))
+        grouped_qps = gb * gq * ITERS / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# grouped path skipped: {type(e).__name__}: {e}", flush=True)
+
     row = {
         "metric": "grounding_queries_per_sec_per_chip",
         "value": round(qps, 2),
@@ -146,6 +185,11 @@ def main() -> None:
     if int8_qps is not None:
         row["int8_qps"] = round(int8_qps, 2)
         row["int8_vs_baseline"] = round(int8_qps / V100_REF_QPS, 3)
+    if grouped_qps is not None:
+        # pairs/sec at 5 phrases/image; the V100 reference pays one full
+        # backbone per pair, so the honest comparison point is unchanged.
+        row["grouped_q5_qps"] = round(grouped_qps, 2)
+        row["grouped_q5_vs_baseline"] = round(grouped_qps / V100_REF_QPS, 3)
     print(json.dumps(row))
 
 

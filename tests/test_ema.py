@@ -106,6 +106,7 @@ def test_ema_formula_exact_single_device(synth_root, tmp_path):
     assert np.abs(e0 - p0).max() < np.abs(i0 - p0).max() or np.allclose(i0, p0)
 
 
+@pytest.mark.slow
 def test_ema_is_passive(synth_root, tmp_path):
     """Enabling EMA must not perturb the param trajectory."""
     cfg_on = _cfg(synth_root, tmp_path / "on")
@@ -121,6 +122,7 @@ def test_ema_is_passive(synth_root, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_ema_formula_exact_on_mesh(synth_root, tmp_path):
     cfg = _cfg(synth_root, tmp_path, do_dist=True, mesh_shape=(8,))
     data = get_data(cfg)

@@ -96,6 +96,7 @@ def test_export_restores_cfg_and_vocab(tiny_grounder, tmp_path):
     assert served.vocab.encode("the red box", 8) == g.vocab.encode("the red box", 8)
 
 
+@pytest.mark.slow
 def test_export_calibrated_int8_roundtrip(tiny_grounder, tmp_path):
     """A calibrated int8 Grounder exports with its activation scales baked
     in (the frozen deployment never recalibrates — export.py docstring).
@@ -213,6 +214,55 @@ def test_weights_as_args_oov_serving(tmp_path):
     assert len(served.vocab) == served._vocab_rows
     r_over = served.ground([img], ["qqqq"])
     np.testing.assert_allclose(r_over[0]["box_norm"], r_unk[0]["box_norm"], atol=1e-6)
+
+
+def test_multiquery_export_matches_live_ground_image(tiny_grounder, tmp_path):
+    """multiquery=True exports shared-backbone (1 image × N queries)
+    modules; the loaded artifact's ground_image runs ONE backbone pass per
+    chunk and matches both the live ground_image and the per-pair path —
+    so artifact-backed daemons serve the '"queries": [...]' form at the
+    same cost as live daemons."""
+    g, imgs, queries = tiny_grounder
+    out = export_serving(
+        g, tmp_path / "mq", platforms=("cpu",),
+        bucket_sizes=g.bucket_sizes, multiquery=True,
+    )
+    meta = json.loads((out / "export.json").read_text())
+    assert meta["multiquery_buckets"] == [1, 2]
+    for b in (1, 2):
+        assert (out / f"serving_mq_b{b}.stablehlo").stat().st_size > 0
+
+    served = ExportedGrounder.load(out)
+    assert sorted(served._mq_calls) == [1, 2]
+    img = imgs[0]
+    # 3 queries over bucket 2 → a full chunk + a tail chunk via bucket 1.
+    art = served.ground_image(img, queries)
+    live = g.ground_image(img, queries)
+    assert len(art) == len(live) == 3
+    for a, b in zip(live, art):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        assert abs(a["score"] - b["score"]) < 1e-6
+    # and ≡ the artifact's own per-pair path (broadcast exactness)
+    per_pair = served.ground([img] * 3, queries)
+    for a, b in zip(per_pair, art):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-4)
+        assert abs(a["score"] - b["score"]) < 1e-5
+
+
+def test_ground_image_falls_back_without_mq_modules(tiny_grounder, tmp_path):
+    """Artifacts exported WITHOUT multiquery still answer ground_image
+    (per-pair fallback) — the daemon's hasattr dispatch never breaks on
+    older artifacts."""
+    g, imgs, queries = tiny_grounder
+    out = export_serving(g, tmp_path / "nomq", platforms=("cpu",))
+    served = ExportedGrounder.load(out)
+    assert served._mq_calls == {}
+    img = imgs[1]
+    fallback = served.ground_image(img, queries)
+    per_pair = served.ground([img] * 3, queries)
+    for a, b in zip(per_pair, fallback):
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-6)
+        assert abs(a["score"] - b["score"]) < 1e-6
 
 
 def test_export_rejects_uncalibrated_int8(tiny_grounder, tmp_path):

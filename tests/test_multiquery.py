@@ -59,6 +59,7 @@ def _assert_matches(multi, per_pair):
         assert abs(m["score"] - p["score"]) < 1e-5
 
 
+@pytest.mark.slow
 def test_multiquery_matches_per_pair_canvas(rng):
     # batch_size ≤ 16 → the Grounder serves through the canvas head.
     g = _grounder(batch_size=4)
@@ -69,6 +70,7 @@ def test_multiquery_matches_per_pair_canvas(rng):
     _assert_matches(multi, per_pair)
 
 
+@pytest.mark.slow
 def test_multiquery_matches_per_pair_level_head(rng):
     # A single large bucket keeps the per-level head for every call.
     g = _grounder(batch_size=32, bucket_sizes=(32,))
@@ -104,6 +106,7 @@ def test_multiquery_empty_and_path_input(rng, tmp_path):
         g.ground_image(rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8), ["x"])
 
 
+@pytest.mark.slow
 def test_multiquery_mesh_grounder_falls_back(rng):
     # Mesh Grounders serve multi-query per-pair (batch-1 images can't
     # shard over the data axis) — same results either way.
@@ -121,6 +124,7 @@ def test_multiquery_mesh_grounder_falls_back(rng):
     )
 
 
+@pytest.mark.slow
 def test_warmup_multiquery_compiles(rng):
     g = _grounder(batch_size=2, bucket_sizes=(1, 2))
     g.warmup(multiquery=True)  # must not raise; compiles (1, b) programs
@@ -231,6 +235,7 @@ def _grouped_vs_flat(mdl_to_use, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_grouped_training_equals_flat_retina(tmp_path):
     """Grouped train step ≡ repeated-image flat batch (retina, incl. BN
     batch-moment equality — repeats don't change moments)."""

@@ -67,6 +67,7 @@ def test_calibrate_then_int8_bounds_error(rng):
     assert corr > 0.999
 
 
+@pytest.mark.slow
 def test_full_model_int8_agrees_with_bf16_decode(rng):
     """calibrate → int8: the decoded best box matches the fp path's on
     nearly all samples (same weights, random init — the hard case since
@@ -132,6 +133,7 @@ def test_grounder_quantize_flow(rng, tmp_path):
     assert len(res2) == 2 and "quant" not in g2.variables
 
 
+@pytest.mark.slow
 def test_ssd_int8_mode(rng):
     """SSD backbone quantizes too (incl. the dilated conv6)."""
     cfg = tiny_cfg(mdl_to_use="ssd_vgg", resize_img=(96, 96))

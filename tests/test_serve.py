@@ -358,6 +358,7 @@ def test_data_parallel_rejects_artifact_dir(server, tmp_path):
         load_server_model(art, data_parallel=True)
 
 
+@pytest.mark.slow
 def test_daemon_lifecycle_sigterm(server, tmp_path):
     """The REAL daemon process end-to-end: `python -m zsgnet_tpu.serve
     <ckpt_dir>` boots from a self-contained checkpoint dir, warms its

@@ -270,6 +270,7 @@ def test_spatial_eval_step_matches_single_device(synth_root, tmp_path):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_composes_with_grad_accum(synth_root, tmp_path):
     """grad_accum=2 under the (2, 4) mesh still equals the one-shot
     single-device step on the BN-free SSD path (exact protocol).
@@ -335,6 +336,7 @@ def test_learner_fit_retina_on_spatial_mesh(synth_root, tmp_path):
     assert np.isfinite(m["loss"]) and "Acc" in m and "MaxPos" in m
 
 
+@pytest.mark.slow
 def test_learner_fit_on_spatial_mesh(synth_root, tmp_path):
     """Full Learner loop (fit 1 epoch → validate) with cfg.mesh_spatial=4:
     make_mesh builds the (2, 4) mesh, _shard places the image

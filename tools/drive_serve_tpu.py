@@ -107,6 +107,22 @@ for i in range(N_LAT):
 lat_ms = (time.time() - t0) / N_LAT * 1e3
 print(f"single-client latency: {lat_ms:.1f} ms/request")
 
+# Multi-query form: 5 phrases × one image — ONE HTTP round trip and ONE
+# shared-backbone device pass (Grounder.ground_image) vs 5 single
+# requests. The Flickr30k serving regime (~5 phrases/image).
+Q5 = ["a man", "a red shirt", "the dog", "the blue car", "a man in a red shirt"]
+out = _post({"queries": Q5, "image_path": paths[0]})  # warm the (1,q) bucket
+assert isinstance(out, list) and len(out) == 5
+t0 = time.time()
+for i in range(N_LAT):
+    _post({"queries": Q5, "image_path": paths[i % 16]})
+mq_ms = (time.time() - t0) / N_LAT * 1e3
+print(
+    f"multi-query latency: {mq_ms:.1f} ms for 5 phrases "
+    f"({mq_ms / 5:.1f} ms/pair vs {lat_ms:.1f} single — "
+    f"{5 * lat_ms / mq_ms:.2f}x)"
+)
+
 # Concurrent throughput: enough client threads to fill device batches.
 def run_load(n_clients: int, reqs_each: int) -> float:
     errs = []
@@ -144,8 +160,9 @@ from zsgnet_tpu.serve import load_server_model
 
 art_dir = pathlib.Path(tmp) / "artifact"
 t0 = time.time()
-export_serving(g, art_dir, platforms=("tpu",), bucket_sizes=(1, BS))
-n_mb = sum(p.stat().st_size for p in art_dir.glob("serving_fn*.stablehlo")) / 1e6
+export_serving(g, art_dir, platforms=("tpu",), bucket_sizes=(1, BS),
+               multiquery=True)
+n_mb = sum(p.stat().st_size for p in art_dir.glob("serving_*.stablehlo")) / 1e6
 print(f"bucketed (1,{BS}) artifact export: {time.time()-t0:.0f}s, {n_mb:.1f} MB")
 
 served = load_server_model(art_dir)
@@ -164,5 +181,18 @@ t0 = time.time()
 for i in range(N_LAT):
     _post({"query": "the dog by the blue car", "image_path": paths[i % 16]})
 print(f"artifact single-client latency: {(time.time()-t0)/N_LAT*1e3:.1f} ms/request")
+
+# The queries form now rides the artifact's shared-backbone multiquery
+# modules (exported above) — one device pass for 5 phrases.
+out = _post({"queries": Q5, "image_path": paths[0]})  # warm (1, q-bucket)
+assert isinstance(out, list) and len(out) == 5
+t0 = time.time()
+for i in range(N_LAT):
+    _post({"queries": Q5, "image_path": paths[i % 16]})
+amq_ms = (time.time() - t0) / N_LAT * 1e3
+print(
+    f"artifact multi-query latency: {amq_ms:.1f} ms for 5 phrases "
+    f"({amq_ms / 5:.1f} ms/pair)"
+)
 srv2.shutdown()
 print("OK — bucketed artifact served over HTTP on the chip")

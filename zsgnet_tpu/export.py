@@ -28,6 +28,12 @@ serving works from the artifact — the embedding table is an input, so
 ``ExportedGrounder`` assigns GloVe rows to unseen words at serving time
 exactly like the live ``Grounder`` (VERDICT r3 missing #3).
 
+``multiquery=True`` additionally writes ``serving_mq_b{N}.stablehlo``
+modules (image batch 1 × N queries, the shared-backbone broadcast) so
+``ExportedGrounder.ground_image`` — and therefore the serving daemon's
+``{"queries": [...]}`` form on artifact-backed daemons — pays ONE
+backbone pass per image instead of N.
+
 ``ExportedGrounder.load(dir)`` then serves with the same pre/post
 processing as the live ``Grounder`` (shared helpers in ``predict.py``),
 so the two paths produce byte-identical batches — equality is tested in
@@ -46,7 +52,8 @@ Notes:
 CLI:
     python -m zsgnet_tpu.export <ckpt_dir> <out_dir> [--batch_size=8]
         [--platforms=tpu,cpu] [--quantize=true] [--bucket_sizes=1,4,8]
-        [--weights_as_args=true [--oov_slots=64]] [--key=val ...]
+        [--weights_as_args=true [--oov_slots=64]] [--multiquery=true]
+        [--key=val ...]
 
 ``--bucket_sizes`` exports one module per batch bucket so the serving
 daemon can route partial batches to small compiled shapes, exactly like
@@ -110,6 +117,7 @@ def export_serving(
     platforms: tuple[str, ...] = ("tpu",),
     bucket_sizes: tuple[int, ...] | None = None,
     weights_as_args: bool = False,
+    multiquery: bool = False,
 ) -> Path:
     """Serialize ``grounder``'s jitted serving function with weights baked in.
 
@@ -134,6 +142,14 @@ def export_serving(
     open-vocabulary serving works from the artifact (the embedding table
     is an input; ``ExportedGrounder`` assigns OOV rows exactly like the
     live Grounder).
+
+    ``multiquery`` additionally exports one shared-backbone module per
+    bucket (``serving_mq_b{N}.stablehlo``: image batch 1 × query batch
+    N — the broadcast happens inside the model, exactly
+    ``Grounder.ground_image``'s program), so the dominant grounding
+    workload shape (~5 phrases per image on Flickr30k Entities) pays ONE
+    backbone pass from the artifact too. ``ExportedGrounder.ground_image``
+    routes to these; without them it falls back to the per-pair path.
     """
     from jax import export as jex
 
@@ -147,14 +163,16 @@ def export_serving(
     h, w = cfg.resize_img
     variables = jax.device_get(grounder.variables)  # host copy → constants
 
-    def _export_one(raw_infer, b: int):
+    def _export_one(raw_infer, b: int, img_b: int | None = None):
         # Baked mode: weights close over the traced function and
         # serialize as constants. v3: the variables pytree is the first
         # exported argument (ShapeDtypeStructs below). Either way a fresh
         # options-free jit: StableHLO cannot represent the tuned
         # compiler_options that grounder._infer carries on TPU.
+        # ``img_b`` < b exports the shared-backbone multi-query shape
+        # (one image broadcast against b queries inside the model).
         batch_args = (
-            jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((img_b or b, h, w, 3), jnp.uint8),
             jax.ShapeDtypeStruct((b, cfg.max_qlen), jnp.int32),
             jax.ShapeDtypeStruct((b,), jnp.int32),
         )
@@ -208,6 +226,14 @@ def export_serving(
         for b in buckets:
             exported = _export_one(_infer_for(b), b)
             (out / f"serving_fn_b{b}.stablehlo").write_bytes(exported.serialize())
+    if multiquery:
+        # Shared-backbone modules: query buckets follow the batch buckets
+        # (the live Grounder chunks ground_image over the same sizes).
+        mq_buckets = list(buckets) if buckets is not None else [bs]
+        meta["multiquery_buckets"] = mq_buckets
+        for b in mq_buckets:
+            exported = _export_one(_infer_for(b), b, img_b=1)
+            (out / f"serving_mq_b{b}.stablehlo").write_bytes(exported.serialize())
     (out / "export.json").write_text(json.dumps(meta, indent=2, default=list))
     grounder.vocab.save(out / "vocab.json")
     return out
@@ -230,16 +256,19 @@ class ExportedGrounder(OpenVocabMixin):
     def __init__(
         self, calls: dict, cfg: Config, vocab: Vocab, batch_size: int,
         variables: dict | None = None, meta: dict | None = None,
-        glove_path: str | Path | None = None,
+        glove_path: str | Path | None = None, mq_calls: dict | None = None,
     ):
         # ``calls`` maps compiled batch size → jitted call; single-shape
         # artifacts have one entry {batch_size: call}, bucketed artifacts
         # one per bucket (smallest fitting bucket serves each chunk, the
         # same routing as the live Grounder). ``variables`` is set for
         # v3 (weights-as-arguments) artifacts and passed on every call.
+        # ``mq_calls`` maps query-bucket size → shared-backbone call
+        # (image batch 1 × N queries) for multiquery artifacts.
         self.cfg, self.vocab, self.bs = cfg, vocab, batch_size
         self.bucket_sizes = tuple(sorted(calls))
         self._calls = calls
+        self._mq_calls = mq_calls or {}
         self.variables = variables
         self._weights_as_args = variables is not None
         # Open-vocab state (OpenVocabMixin): active only for v3 artifacts
@@ -299,6 +328,10 @@ class ExportedGrounder(OpenVocabMixin):
             }
         else:
             calls = {meta["batch_size"]: _load_call(d / "serving_fn.stablehlo")}
+        mq_calls = {
+            b: _load_call(d / f"serving_mq_b{b}.stablehlo")
+            for b in meta.get("multiquery_buckets", ())
+        }
         vocab = Vocab.load(d / "vocab.json")
         variables = None
         if meta.get("weights_as_args"):
@@ -310,14 +343,62 @@ class ExportedGrounder(OpenVocabMixin):
         return cls(
             calls, cfg, vocab, meta["batch_size"],
             variables=variables, meta=meta, glove_path=glove_path,
+            mq_calls=mq_calls,
         )
 
     def warmup(self) -> None:
-        """Compile every bucket module now (see ``Grounder.warmup``)."""
+        """Compile every bucket module now (see ``Grounder.warmup``),
+        including the shared-backbone multiquery buckets if exported."""
         h, w = self.cfg.resize_img
         zero = np.zeros((h, w, 3), np.uint8)
         for b in self.bucket_sizes:
             self.ground([zero] * b, ["warm up"] * b)
+        for b in sorted(self._mq_calls):
+            self.ground_image(zero, ["warm up"] * b)
+
+    def ground_image(self, image, queries: list[str]) -> list[dict]:
+        """Ground N queries against ONE image — one backbone pass per
+        chunk when the artifact carries multiquery modules
+        (``export_serving(multiquery=True)``), matching
+        ``Grounder.ground_image`` exactly; otherwise falls back to the
+        per-pair path (same answers, N backbone passes). The serving
+        daemon's ``{"queries": [...]}`` form hits this, so artifact-backed
+        daemons get the shared-backbone win too."""
+        n = len(queries)
+        if n == 0:
+            return []
+        if not self._mq_calls:
+            return self.ground([image] * n, queries)
+        self._ensure_vocab(queries)
+        h, w = self.cfg.resize_img
+        if isinstance(image, np.ndarray):
+            arr = image.astype(np.uint8)
+            if arr.shape[:2] != (h, w):
+                raise ValueError("array inputs must be pre-resized")
+            img, orig_hw = arr, (arr.shape[0], arr.shape[1])
+        else:
+            from zsgnet_tpu.data.dataset import _load_image_u8
+
+            img, orig_hw = _load_image_u8(Path(image), (h, w))
+        img_dev = jnp.asarray(img[None])
+        mq_buckets = sorted(self._mq_calls)
+        chunk_max = mq_buckets[-1]
+        out: list[dict] = []
+        for start in range(0, n, chunk_max):
+            chunk = queries[start : start + chunk_max]
+            pad_to = next(b for b in mq_buckets if b >= len(chunk))
+            qvec = np.zeros((pad_to, self.cfg.max_qlen), np.int32)
+            qlens = np.ones((pad_to,), np.int32)
+            for j, q in enumerate(chunk):
+                qvec[j], qlens[j] = self.vocab.encode(q, self.cfg.max_qlen)
+            batch_args = (img_dev, jnp.asarray(qvec), jnp.asarray(qlens))
+            if self._weights_as_args:
+                boxes, scores = self._mq_calls[pad_to](self.variables, *batch_args)
+            else:
+                boxes, scores = self._mq_calls[pad_to](*batch_args)
+            sizes = np.tile(np.asarray(orig_hw, np.float32), (pad_to, 1))
+            out.extend(chunk_results(boxes, scores, sizes, len(chunk)))
+        return out
 
     def ground(self, images: list, queries: list) -> list[dict]:
         if len(images) != len(queries):
@@ -368,6 +449,7 @@ def main() -> None:
     platforms = tuple(overrides.pop("platforms", "tpu").split(","))
     quantize = overrides.pop("quantize", "false").lower() in ("1", "true", "yes")
     waa = overrides.pop("weights_as_args", "false").lower() in ("1", "true", "yes")
+    mq = overrides.pop("multiquery", "false").lower() in ("1", "true", "yes")
     oov_slots = int(overrides.pop("oov_slots", "0"))
     if oov_slots and not waa:
         raise SystemExit(
@@ -385,7 +467,8 @@ def main() -> None:
             "Grounder.ground()/calibrate() programmatically, then export_serving()"
         )
     path = export_serving(g, out_dir, platforms=platforms,
-                          bucket_sizes=bucket_sizes, weights_as_args=waa)
+                          bucket_sizes=bucket_sizes, weights_as_args=waa,
+                          multiquery=mq)
     n = sum(p.stat().st_size for p in path.glob("serving_fn*.stablehlo"))
     wn = (path / "weights.npz").stat().st_size if (path / "weights.npz").exists() else 0
     extra = f" + weights.npz {wn/1e6:.1f} MB" if wn else ""

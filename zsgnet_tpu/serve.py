@@ -279,10 +279,11 @@ class MicroBatcher:
 
         try:
             if hasattr(self._g, "ground_image"):
+                # Grounder: always shared-backbone. ExportedGrounder:
+                # shared-backbone when the artifact carries multiquery
+                # modules, internal per-pair fallback otherwise.
                 results = self._g.ground_image(item.image, item.queries)
             else:
-                # Exported StableHLO artifacts are lowered for fixed
-                # (image, query) pair batches — serve the form per-pair.
                 results = self._g.ground(
                     [item.image] * len(item.queries), item.queries
                 )
@@ -554,7 +555,9 @@ def main() -> None:
             # the daemon's '"queries": [...]' form uses distinct (1, b)
             # programs that a pair-only warmup would leave cold
             g.warmup(multiquery=True)
-        else:  # ExportedGrounder: serves the multi form per-pair anyway
+        else:
+            # ExportedGrounder.warmup warms its multiquery modules too
+            # when the artifact carries them (per-pair fallback otherwise)
             g.warmup()
         print(f"warmed in {time.time() - t0:.0f}s", flush=True)
     srv = make_server(g, port=port, window_ms=window_ms, host=host,
