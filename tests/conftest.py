@@ -25,23 +25,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's cost is dominated by XLA:CPU
 # compiles of the tiny-model train/eval steps; repeated runs (the normal
-# iteration pattern) hit this disk cache and drop from ~15 min to ~2 min.
-# The dir is keyed by the host's CPU feature set: XLA's cache key does
-# NOT include machine features, and this container migrates between
-# hosts — AOT code compiled on an AVX-512 host loaded on a lesser one
-# warns "could lead to SIGILL" on every entry (observed live).
-import hashlib  # noqa: E402
+# iteration pattern) hit this disk cache. Shared with the multihost
+# worker subprocesses — see tests/_compile_cache.py for the host-CPU
+# cache-key rationale.
+from _compile_cache import enable_compile_cache  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _cpu_id = next(line for line in f if line.startswith("flags"))
-except (OSError, StopIteration):
-    import platform
-
-    _cpu_id = platform.machine() + platform.processor()
-_cpu_tag = hashlib.sha1(_cpu_id.encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/zsgnet_jax_cache_{_cpu_tag}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+enable_compile_cache(jax)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -43,3 +43,20 @@ def test_demo_end_to_end(tmp_path):
     art = describe(tmp_path / "artifact")
     assert art["kind"].startswith("serving artifact")
     assert art["modules"]
+
+
+def test_grouped_preset_loads():
+    """The shipped Flickr30k grouped-training preset (VERDICT r4 #9 —
+    the 3.08x lever as a documented recipe, not an expert flag) parses
+    via --cfg_file semantics, sets the grouped configuration, and
+    validates at construction. Underscore keys are documentation."""
+    from pathlib import Path
+
+    from zsgnet_tpu.config import get_default_cfg
+
+    preset = Path(__file__).parent.parent / "configs" / "flickr30k_grouped.json"
+    cfg = get_default_cfg(preset)
+    assert cfg.ds_to_use == "flickr30k"
+    assert cfg.queries_per_img == 5 and cfg.bs == 24
+    assert cfg.grouped_reseed  # per-epoch re-grouping on by default
+    assert cfg.resize_img == (300, 300) and cfg.compute_dtype == "bfloat16"

@@ -97,6 +97,8 @@ def test_accumulation_algebra_with_zero_pos_microbatch(rng):
     np.testing.assert_allclose(s_acc / n_tot, float(full_ls), rtol=1e-6)
 
 
+@pytest.mark.slow  # Slow tier (r5 gate re-tier): the family keeps the algebra test and
+    # the retina smoke unmarked; this 90 s e2e exactness run is nightly.
 def test_grad_accum_exact_on_bn_free_ssd(synth_root, tmp_path):
     """grad_accum=4 == one-shot step on SSD-VGG (no BatchNorm anywhere):
     identical loss and near-identical params after one SGD step (fp32

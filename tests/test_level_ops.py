@@ -137,3 +137,22 @@ def test_regroup_head_kernel():
     want = [0, 10, 20, 1, 11, 21, 2, 12, 22, 3, 13, 23, 4, 14, 24]
     np.testing.assert_array_equal(k2[0, 0, 0], want)
     np.testing.assert_array_equal(b2, want)
+
+
+def test_loss_levels_sample_weight_subset_equality(rng):
+    """Weighted per-level loss ≡ flat weighted loss ≡ subset loss."""
+    anchors, comps, att, bbx, gt, att_l, delta_l = _setup(rng, B=4)
+    keep = np.array([1, 0, 1, 1], np.float32)
+    sub = keep.astype(bool)
+    labels, reg_t = anchor_ops.match_and_encode(
+        jnp.asarray(anchors), jnp.asarray(gt[sub]), 0.5, 0.4
+    )
+    want = losses.zsg_loss(
+        jnp.asarray(att[sub]), jnp.asarray(bbx[sub]), labels, reg_t
+    )
+    got = zsg_loss_levels(
+        att_l, delta_l, comps, jnp.asarray(gt),
+        sample_weight=jnp.asarray(keep),
+    )
+    for k in ("total", "cls_ls", "box_ls", "num_pos"):
+        np.testing.assert_allclose(float(got[k]), float(want[k]), rtol=2e-5, err_msg=k)

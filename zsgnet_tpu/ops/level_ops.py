@@ -98,13 +98,21 @@ def zsg_loss_levels(
     alpha: float = 0.25,
     gamma: float = 2.0,
     axis_name: str | None = None,
+    sample_weight: Array | None = None,
 ) -> dict[str, Array]:
     """Focal + smooth-L1 grounding loss over per-level NHWC outputs.
 
     Same return dict and global-psum normalization as
-    ``ops.losses.zsg_loss`` (focal/multi-positive path).
+    ``ops.losses.zsg_loss`` (focal/multi-positive path), including the
+    optional ``sample_weight`` (B,) masking — a 0 removes the sample from
+    every term and from the positive-count normalizer.
     """
     gt = gt_tlbr.astype(jnp.float32)
+    w4 = (
+        sample_weight.astype(jnp.float32)[:, None, None, None]
+        if sample_weight is not None
+        else None
+    )
     ious = [_iou_level(c, gt) for c in anchor_comps]
     # Cross-level force-best with the flat path's exact argmax tie-break:
     # global max IoU, then the smallest flat anchor index achieving it.
@@ -138,6 +146,9 @@ def zsg_loss_levels(
         posf = pos.astype(jnp.float32)
         valid = jnp.where((iou >= neg_thr) & ~pos, 0.0, 1.0)
         focal = loss_ops.sigmoid_focal_loss(att, posf, alpha, gamma)
+        if w4 is not None:
+            posf = posf * w4
+            valid = valid * w4
         cls_sum = cls_sum + jnp.sum(focal * valid)
         num_pos_local = num_pos_local + jnp.sum(posf)
 

@@ -78,6 +78,7 @@ def zsg_loss(
     use_focal: bool = True,
     use_softmax: bool = False,
     axis_name: str | None = None,
+    sample_weight: Array | None = None,
 ) -> dict[str, Array]:
     """Total grounding loss over one batch — fully masked, static shapes.
 
@@ -102,17 +103,31 @@ def zsg_loss(
     loss/gradient of the equivalent single-device global batch — stronger
     than DDP's per-replica normalization, whose effective loss depends on
     how positives land across replicas.
+
+    ``sample_weight``: optional (B,) per-sample weights in [0, 1] — a 0
+    removes that sample from every term AND from the positive-count
+    normalizer (grouped multi-query wrap-repeats / eval tail pads are
+    masked this way, so each real pair weighs exactly once). ``None``
+    (the default) is exactly the unweighted math.
     """
     labels = labels.astype(jnp.int32)
     pos = (labels == 1).astype(jnp.float32)  # (B, A)
     valid = (labels != -1).astype(jnp.float32)  # non-ignored
-    num_pos_local = jnp.sum(pos)
+    if sample_weight is not None:
+        w = sample_weight.astype(jnp.float32)[:, None]  # (B, 1)
+        pos_w = pos * w
+        valid = valid * w
+        bs_local = jnp.sum(w[:, 0])
+    else:
+        pos_w = pos
+        bs_local = jnp.float32(att_logits.shape[0])
+    num_pos_local = jnp.sum(pos_w)
     if axis_name is not None:
         num_pos = jnp.maximum(jax.lax.psum(num_pos_local, axis_name), 1.0)
-        global_bs = att_logits.shape[0] * jax.lax.psum(1, axis_name)
+        global_bs = jax.lax.psum(bs_local, axis_name)
     else:
         num_pos = jnp.maximum(num_pos_local, 1.0)
-        global_bs = att_logits.shape[0]
+        global_bs = bs_local
 
     if use_softmax:
         # Softmax over anchors: target distribution uniform over positives.
@@ -132,7 +147,7 @@ def zsg_loss(
         cls_ls = jnp.sum(elem * valid) / num_pos
 
     reg_elem = smooth_l1(bbx_reg, reg_targets)  # (B, A, 4)
-    box_ls = jnp.sum(reg_elem * pos[..., None]) / num_pos
+    box_ls = jnp.sum(reg_elem * pos_w[..., None]) / num_pos
 
     total = cls_ls + lamb_reg * box_ls
     return {

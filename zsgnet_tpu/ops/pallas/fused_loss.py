@@ -156,6 +156,7 @@ def _fwd_kernel(st: _Statics, aux_ref, att_ref, bbx_ref, anc_ref, acc_ref):
     aux = aux_ref[...]  # (BB, 128)
     gt = tuple(aux[:, k][:, None] for k in range(4))
     best_idx = aux[:, 4][:, None]
+    w = aux[:, 5][:, None]  # per-sample weight (1.0 unweighted)
     anc = anc_ref[...]  # (8, BA)
     att = att_ref[...]  # (BB, BA)
 
@@ -165,14 +166,17 @@ def _fwd_kernel(st: _Statics, aux_ref, att_ref, bbx_ref, anc_ref, acc_ref):
     iou = _iou_tile(gt, anc)
     pos, valid = _labels_tile(iou, best_idx, a_idx, a_valid, st.match_thr, st.neg_thr)
     focal = _focal_tile(att, pos, st.alpha, st.gamma)
-    cls_sum = jnp.sum(focal * valid)
+    # Weight AFTER the focal targets: targets stay binary, the sample's
+    # contribution (and its positive count) scales by w.
+    pos_w = pos * w
+    cls_sum = jnp.sum(focal * valid * w)
 
     t = _reg_targets_tile(gt, anc)
     box_sum = jnp.zeros((), jnp.float32)
     for k in range(4):
         loss_k, _ = _smooth_l1_and_grad(bbx_ref[k, :, :] - t[k], st.beta)
-        box_sum = box_sum + jnp.sum(loss_k * pos)
-    npos = jnp.sum(pos)
+        box_sum = box_sum + jnp.sum(loss_k * pos_w)
+    npos = jnp.sum(pos_w)
 
     # TPU grid steps run sequentially on the core; a constant-index output
     # block acts as a cross-step accumulator: rows [cls, box, num_pos].
@@ -200,6 +204,7 @@ def _bwd_kernel(st: _Statics, aux_ref, att_ref, bbx_ref, anc_ref, g_ref,
     aux = aux_ref[...]
     gt = tuple(aux[:, k][:, None] for k in range(4))
     best_idx = aux[:, 4][:, None]
+    w = aux[:, 5][:, None]
     anc = anc_ref[...]
     att = att_ref[...]
     g_cls = g_ref[0, 0]
@@ -210,43 +215,52 @@ def _bwd_kernel(st: _Statics, aux_ref, att_ref, bbx_ref, anc_ref, g_ref,
 
     iou = _iou_tile(gt, anc)
     pos, valid = _labels_tile(iou, best_idx, a_idx, a_valid, st.match_thr, st.neg_thr)
-    datt_ref[...] = g_cls * _focal_grad_tile(att, pos, st.alpha, st.gamma) * valid
+    datt_ref[...] = g_cls * _focal_grad_tile(att, pos, st.alpha, st.gamma) * valid * w
 
     t = _reg_targets_tile(gt, anc)
     for k in range(4):
         _, grad_k = _smooth_l1_and_grad(bbx_ref[k, :, :] - t[k], st.beta)
-        dbbx_ref[k, :, :] = g_box * grad_k * pos
+        dbbx_ref[k, :, :] = g_box * grad_k * pos * w
 
 
-def _build_aux(gt_tlbr, anchors_tlbr):
+def _build_aux(gt_tlbr, anchors_tlbr, sample_weight=None):
     """(B, 128) aux: gt box + per-example argmax-IoU anchor index (one
     fused XLA reduction — the only cross-tile quantity force-best matching
-    needs). The index is f32-encoded (exact below 2^24; A ≈ 17k)."""
+    needs) + per-sample weight (col 5; 1.0 when unweighted). The index is
+    f32-encoded (exact below 2^24; A ≈ 17k)."""
     iou = box_ops.iou_pairwise(gt_tlbr[:, None, :], anchors_tlbr)[:, 0, :]
     best_idx = jnp.argmax(iou, axis=-1)  # (B,) — same tie-break as jnp path
     b = gt_tlbr.shape[0]
     aux = jnp.zeros((b, 128), jnp.float32)
     aux = aux.at[:, 0:4].set(gt_tlbr.astype(jnp.float32))
     aux = aux.at[:, 4].set(best_idx.astype(jnp.float32))
+    w = (
+        sample_weight.astype(jnp.float32)
+        if sample_weight is not None
+        else jnp.ones((b,), jnp.float32)
+    )
+    aux = aux.at[:, 5].set(w)
     return aux
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
 def fused_match_loss(
-    att, bbx_t, anchors_packed, gt_tlbr,
+    att, bbx_t, anchors_packed, gt_tlbr, sample_weight,
     match_thr=0.5, neg_thr=0.4, alpha=0.25, gamma=2.0, num_anchors=0,
 ):
     """Fused matching + loss partial sums.
 
     att: (B, A_pad) f32 logits; bbx_t: (4, B, A_pad) f32 deltas;
-    anchors_packed: (8, A_pad) from :func:`pack_anchors`; gt_tlbr: (B, 4).
+    anchors_packed: (8, A_pad) from :func:`pack_anchors`; gt_tlbr: (B, 4);
+    sample_weight: (B,) per-sample weights (pass ones for unweighted —
+    weighted terms scale by w, as does the positive count).
     B % 8 == 0, A_pad % 512 == 0. Returns (cls_sum, box_sum, num_pos)
     scalars — combine as cls_sum/num_pos + λ·box_sum/num_pos (psum the
     three across a data mesh first for global normalization).
     """
-    out, _ = _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr,
+    out, _ = _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr, sample_weight,
                        match_thr, neg_thr, alpha, gamma, num_anchors)
     return out
 
@@ -273,18 +287,18 @@ def _pallas_call_fwd(st: _Statics, aux, att, bbx_t, anchors_packed):
     return acc[0, 0], acc[1, 0], acc[2, 0]
 
 
-def _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr,
+def _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr, sample_weight,
               match_thr, neg_thr, alpha, gamma, num_anchors):
     st = _Statics(match_thr, neg_thr, alpha, gamma, 1.0 / 9.0, num_anchors)
     anchors_tlbr = anchors_packed[0:4, :num_anchors].T
-    aux = _build_aux(gt_tlbr, anchors_tlbr)
+    aux = _build_aux(gt_tlbr, anchors_tlbr, sample_weight)
     out = _pallas_call_fwd(st, aux, att, bbx_t, anchors_packed)
     return out, aux
 
 
-def _vjp_fwd(att, bbx_t, anchors_packed, gt_tlbr,
+def _vjp_fwd(att, bbx_t, anchors_packed, gt_tlbr, sample_weight,
              match_thr, neg_thr, alpha, gamma, num_anchors):
-    out, aux = _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr,
+    out, aux = _fwd_impl(att, bbx_t, anchors_packed, gt_tlbr, sample_weight,
                          match_thr, neg_thr, alpha, gamma, num_anchors)
     return out, (att, bbx_t, anchors_packed, aux)
 
@@ -319,7 +333,7 @@ def _vjp_bwd(match_thr, neg_thr, alpha, gamma, num_anchors, res, g):
             jax.ShapeDtypeStruct((4, b, a_pad), jnp.float32),
         ],
     )(aux, att, bbx_t, anchors_packed, g_arr)
-    return datt, dbbx, None, None
+    return datt, dbbx, None, None, None
 
 
 fused_match_loss.defvjp(_vjp_fwd, _vjp_bwd)
@@ -328,12 +342,14 @@ fused_match_loss.defvjp(_vjp_fwd, _vjp_bwd)
 def zsg_loss_fused(
     att_logits, bbx_reg, anchors_packed, gt_tlbr, *,
     num_anchors, lamb_reg=1.0, match_thr=0.5, neg_thr=0.4,
-    alpha=0.25, gamma=2.0, axis_name=None,
+    alpha=0.25, gamma=2.0, axis_name=None, sample_weight=None,
 ):
     """Drop-in for ``ops.losses.zsg_loss`` (focal path) using the kernel.
 
     att_logits: (B, A) — padded to A_pad internally; bbx_reg: (B, A, 4).
-    Same return dict / same global-normalization semantics.
+    Same return dict / same global-normalization semantics, including the
+    optional per-sample ``sample_weight`` masking (rides in the aux
+    array's col 5 — zero extra kernel traffic).
     """
     b, a = att_logits.shape
     a_pad = anchors_packed.shape[1]
@@ -341,8 +357,13 @@ def zsg_loss_fused(
     bbx_t = jnp.pad(
         bbx_reg.astype(jnp.float32), ((0, 0), (0, a_pad - a), (0, 0))
     ).transpose(2, 0, 1)
+    w = (
+        sample_weight.astype(jnp.float32)
+        if sample_weight is not None
+        else jnp.ones((b,), jnp.float32)
+    )
     cls_sum, box_sum, num_pos_local = fused_match_loss(
-        att_p, bbx_t, anchors_packed, gt_tlbr,
+        att_p, bbx_t, anchors_packed, gt_tlbr, w,
         match_thr, neg_thr, alpha, gamma, a,
     )
     if axis_name is not None:

@@ -66,12 +66,17 @@ def batch_sharding(mesh: Mesh, cfg: Config) -> NamedSharding:
     return NamedSharding(mesh, P(cfg.data_axis))
 
 
-def batch_shardings(mesh: Mesh, cfg: Config) -> dict[str, NamedSharding]:
+def batch_shardings(
+    mesh: Mesh, cfg: Config, keys=None
+) -> dict[str, NamedSharding]:
     """Per-key input shardings for the device batch.
 
     On a spatial mesh the image is additionally sharded on its height
-    (dim 1 of NHWC) so GSPMD partitions every conv spatially; 1-D
-    (qvec/qlens/annot) arrays shard on batch only.
+    (dim 1 of NHWC) so GSPMD partitions every conv spatially; every
+    other key (qvec/qlens/annot, plus the optional ``pair_valid`` /
+    ``valid`` masks) shards on batch only. ``keys`` selects which keys
+    the dict covers (default: the four core device-batch keys) — jit
+    ``in_shardings`` dicts must match the batch pytree structure exactly.
     """
     data = NamedSharding(mesh, P(cfg.data_axis))
     img = (
@@ -79,7 +84,9 @@ def batch_shardings(mesh: Mesh, cfg: Config) -> dict[str, NamedSharding]:
         if is_spatial_mesh(mesh, cfg)
         else data
     )
-    return {"img": img, "qvec": data, "qlens": data, "annot": data}
+    if keys is None:
+        keys = ("img", "qvec", "qlens", "annot")
+    return {k: (img if k == "img" else data) for k in keys}
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

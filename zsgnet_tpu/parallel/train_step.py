@@ -152,9 +152,27 @@ def create_train_state(cfg: Config, model, sample_batch: dict, rng: jax.Array) -
 
 
 def _device_batch(batch: dict[str, Array]) -> dict[str, Array]:
-    """Keys the jitted step consumes (drops host-only metadata)."""
+    """Keys the model's apply_fn consumes (drops loss masks + metadata)."""
     keep = ("img", "qvec", "qlens", "annot")
     return {k: batch[k] for k in keep}
+
+
+def train_batch_keys(cfg: Config) -> tuple[str, ...]:
+    """Batch keys the jitted TRAIN step consumes — statically derived
+    from the config (jit ``in_shardings`` dicts must match the batch
+    pytree structure exactly). Grouped multi-query batches additionally
+    carry ``pair_valid`` so wrap-repeated pairs mask out of the loss."""
+    keys = ["img", "qvec", "qlens", "annot"]
+    if int(cfg.queries_per_img) > 1:
+        keys.append("pair_valid")
+    return tuple(keys)
+
+
+def eval_batch_keys(cfg: Config) -> tuple[str, ...]:
+    """Batch keys the jitted EVAL step consumes: the train keys plus the
+    tail-pad ``valid`` mask (eval loaders always emit it — drop_last is
+    False), so the logged eval loss counts each real pair exactly once."""
+    return train_batch_keys(cfg) + ("valid",)
 
 
 def _use_fused_loss(cfg: Config) -> bool:
@@ -196,9 +214,12 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
     both steps, so logged validation loss is always the same quantity
     training optimizes (VERDICT r1 weak #5).
 
-    Returns a closure ``(out, annot) -> loss dict`` whose values are
-    global-normalized per-shard partials when ``axis`` is a mesh axis —
-    the caller must ``lax.psum`` them over that axis.
+    Returns a closure ``(out, annot, sample_weight=None) -> loss dict``
+    whose values are global-normalized per-shard partials when ``axis``
+    is a mesh axis — the caller must ``lax.psum`` them over that axis.
+    ``sample_weight`` (B,) masks samples out of every loss term AND the
+    positive-count normalizer (grouped wrap-repeats, eval tail pads) —
+    honored identically by all three implementations.
     """
     anchors_const = jnp.asarray(anchors_cthw)
     use_fused = _use_fused_loss(cfg)
@@ -212,7 +233,7 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
 
         anchors_packed = jnp.asarray(pack_anchors(anchors_cthw))
 
-    def compute_loss(out, annot):
+    def compute_loss(out, annot, sample_weight=None):
         if use_levels:
             from zsgnet_tpu.ops.level_ops import zsg_loss_levels
 
@@ -221,6 +242,7 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
                 lamb_reg=cfg.lamb_reg, match_thr=cfg.matching_threshold,
                 neg_thr=cfg.neg_threshold, alpha=cfg.focal_alpha,
                 gamma=cfg.focal_gamma, axis_name=axis,
+                sample_weight=sample_weight,
             )
         if use_fused:
             from zsgnet_tpu.ops.pallas.fused_loss import zsg_loss_fused
@@ -230,6 +252,7 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
                 num_anchors=anchors_const.shape[0], lamb_reg=cfg.lamb_reg,
                 match_thr=cfg.matching_threshold, neg_thr=cfg.neg_threshold,
                 alpha=cfg.focal_alpha, gamma=cfg.focal_gamma, axis_name=axis,
+                sample_weight=sample_weight,
             )
         labels, reg_t = anchor_ops.match_and_encode(
             anchors_const, annot, cfg.matching_threshold, cfg.neg_threshold,
@@ -239,7 +262,7 @@ def make_compute_loss(cfg: Config, anchors_cthw, axis: str | None):
             out["att_out"], out["bbx_out"], labels, reg_t,
             lamb_reg=cfg.lamb_reg, alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
             use_focal=cfg.use_focal, use_softmax=cfg.use_softmax,
-            axis_name=axis,
+            axis_name=axis, sample_weight=sample_weight,
         )
 
     return compute_loss
@@ -323,12 +346,22 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             halo_ctx.slice_batch(batch["annot"]) if halo_ctx is not None
             else batch["annot"]
         )
+        pv = batch.get("pair_valid")
+        if pv is not None and halo_ctx is not None:
+            pv = halo_ctx.slice_batch(pv)
         if annot.ndim == 3:
             # Grouped multi-query batch (cfg.queries_per_img): model
             # outputs are (B·Q, ...) pair-major; flatten annotations the
             # same way — the loss is then exactly the flat-batch loss.
+            # Wrap-repeated pairs (GroupedDataset tail fill) are masked
+            # via pair_valid: each real (image, phrase) pair weighs
+            # exactly once per epoch, matching the reference's flat
+            # sampler (VERDICT r4 weak #3b).
             annot = annot.reshape(-1, annot.shape[-1])
-        ls = compute_loss(out, annot)
+            if pv is not None:
+                pv = pv.reshape(-1)
+        w = pv.astype(jnp.float32) if pv is not None else None
+        ls = compute_loss(out, annot, sample_weight=w)
         return ls["total"], (ls, new_stats)
 
     k = max(int(cfg.grad_accum), 1)
@@ -465,7 +498,7 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         repl = NamedSharding(mesh, P())
         return jax.jit(
             step_shard,
-            in_shardings=(repl, batch_shardings(mesh, cfg)),
+            in_shardings=(repl, batch_shardings(mesh, cfg, train_batch_keys(cfg))),
             out_shardings=(repl, repl),
             donate_argnums=0,
             compiler_options=opts,
@@ -477,10 +510,8 @@ def make_train_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         # spatial group (the model/loss slice their member's batch block
         # after the backbone reshard — parallel/halo.py).
         batch_specs = {
-            "img": P(cfg.data_axis, cfg.spatial_axis),
-            "qvec": P(cfg.data_axis),
-            "qlens": P(cfg.data_axis),
-            "annot": P(cfg.data_axis),
+            k: (P(cfg.data_axis, cfg.spatial_axis) if k == "img" else P(cfg.data_axis))
+            for k in train_batch_keys(cfg)
         }
         sharded = shard_map(
             step_shard,
@@ -511,8 +542,12 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
     validation loss reuses :func:`make_compute_loss` — the exact variant
     training optimizes (focal/BCE/softmax/``use_multi``) — psum'd over the
     mesh axis and broadcast per-sample so it rides the same sharded output
-    (the Evaluator averages it per batch). Wrap-padded tail samples are
-    included in the loss (metrics mask them; the loss is logging-only).
+    (the Evaluator averages it per batch). When the batch carries the
+    ``valid`` (wrap-padded tail) / ``pair_valid`` (grouped wrap-repeat)
+    masks they weight the loss too, so the logged eval loss counts each
+    real pair exactly once (ADVICE r4 #2); it remains a batch-mean
+    quantity, so it is comparable but not bit-identical across loader
+    layouts (flat vs grouped batch the pairs differently).
     """
     from zsgnet_tpu.parallel.mesh import batch_shardings, is_spatial_mesh
 
@@ -532,11 +567,17 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
             variables["batch_stats"] = state.batch_stats
         out = state.apply_fn(variables, _device_batch(batch), train=False)
         annot = batch["annot"]
+        vmask = batch.get("valid")
+        w = vmask.astype(jnp.float32) if vmask is not None else None
+        pv = batch.get("pair_valid")
         if annot.ndim == 3:
             # Grouped multi-query batch (cfg.queries_per_img): model
             # outputs are (B·Q, ...) pair-major — flatten annotations the
             # same way; per-pair metrics are then exactly the flat-batch
             # metrics (the host masks wrap-repeated pairs via pair_valid).
+            if pv is not None:
+                pvf = pv.astype(jnp.float32)
+                w = (pvf if w is None else w[:, None] * pvf).reshape(-1)
             annot = annot.reshape(-1, annot.shape[-1])
         if use_levels:
             from zsgnet_tpu.ops.level_ops import eval_batch_levels
@@ -549,7 +590,7 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
                 out["att_out"], out["bbx_out"], anchors_const, annot,
                 cfg.acc_iou_threshold,
             )
-        ls = compute_loss(out, annot)
+        ls = compute_loss(out, annot, sample_weight=w)
         total = jax.lax.psum(ls["total"], axis) if axis is not None else ls["total"]
         ev["loss"] = jnp.broadcast_to(total, ev["iou"].shape)
         return ev
@@ -564,7 +605,7 @@ def make_eval_step(cfg: Config, anchors_cthw, mesh: Mesh | None = None):
         repl = NamedSharding(mesh, P())
         return jax.jit(
             run,
-            in_shardings=(repl, batch_shardings(mesh, cfg)),
+            in_shardings=(repl, batch_shardings(mesh, cfg, eval_batch_keys(cfg))),
             out_shardings=NamedSharding(mesh, P(cfg.data_axis)),
             compiler_options=opts,
         )

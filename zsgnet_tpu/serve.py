@@ -328,20 +328,27 @@ def load_server_model(model_dir: str | Path, batch_size: int = 8,
     """Artifact dir (export.json present) → ExportedGrounder, else
     checkpoint dir → Grounder. Both expose .ground/.cfg/.vocab/.bs.
 
-    ``data_parallel`` shards every device batch over ALL local chips
-    (1-D mesh, weights replicated — see ``Grounder(mesh=...)``); serving
-    throughput then scales ≈ linearly with chip count. Checkpoint
-    serving only: exported artifacts are lowered for one device."""
+    ``data_parallel`` uses ALL local chips. Checkpoint dirs shard each
+    device batch over a 1-D mesh (weights replicated —
+    ``Grounder(mesh=...)``); artifact dirs round-robin whole device
+    batches across chips (``ExportedGrounder.load(data_parallel=True)``
+    — StableHLO modules are lowered per device, so the parallelism is
+    batch-level, not shard-level). Both scale throughput ≈ linearly.
+    ``mesh_spatial`` (single-sample sharding) stays checkpoint-only."""
     d = Path(model_dir)
     if (d / "export.json").exists():
-        if data_parallel or int((cfg_overrides or {}).get("mesh_spatial", 1) or 1) > 1:
+        if int((cfg_overrides or {}).get("mesh_spatial", 1) or 1) > 1:
             raise ValueError(
-                "data_parallel/mesh_spatial serving needs a checkpoint dir — "
-                "exported StableHLO artifacts are lowered for a single device"
+                "mesh_spatial serving needs a checkpoint dir — exported "
+                "StableHLO artifacts are lowered per device and cannot "
+                "shard one sample; use --data_parallel for batch-level "
+                "multi-chip artifact serving"
             )
         from zsgnet_tpu.export import ExportedGrounder
 
-        g = ExportedGrounder.load(d, glove_path=glove_path)
+        g = ExportedGrounder.load(
+            d, glove_path=glove_path, data_parallel=data_parallel
+        )
         if oov_slots and not g.oov_slots:
             # Slot capacity is fixed at export time (the table shape is in
             # the compiled modules). Only v3 (weights-as-arguments)

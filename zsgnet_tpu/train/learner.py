@@ -211,8 +211,12 @@ class Learner:
         self._stop_requested = True
 
     def _device_view(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
-        keep = ("img", "qvec", "qlens", "annot")
-        return {k: batch[k] for k in keep}
+        # Core keys + the loss masks when the loader emits them: ``valid``
+        # (eval tail wrap-pad) and ``pair_valid`` (grouped wrap-repeats)
+        # weight those samples out of the loss on device — each real pair
+        # counts exactly once (train_step.train_batch_keys/eval_batch_keys).
+        keep = ("img", "qvec", "qlens", "annot", "pair_valid", "valid")
+        return {k: batch[k] for k in keep if k in batch}
 
     def _device_prefetch(self, it, depth: int = 2):
         """Keep ``depth`` batches in flight on the device ahead of the
@@ -242,7 +246,8 @@ class Learner:
     def _shard(self, batch: dict[str, Any]) -> dict[str, Any]:
         if self.mesh is None:
             return jax.device_put(batch)
-        shs = batch_shardings(self.mesh, self.cfg)  # per-key (img: +spatial)
+        # per-key (img: +spatial); covers whatever mask keys ride along
+        shs = batch_shardings(self.mesh, self.cfg, tuple(batch.keys()))
         if jax.process_count() > 1:
             # Multi-host: each host holds its own slice of the global batch
             # (the BatchLoader already shards batches by process index);
@@ -402,7 +407,11 @@ class Learner:
                 **{f"train_{k}": v for k, v in last_ls.items()},
                 **{f"val_{k}": v for k, v in metrics.items()},
                 "train_time_s": round(train_time, 2),
+                # PAIRS (image, phrase) per second — cfg.bs counts IMAGES
+                # in grouped mode (config.py queries_per_img), so scale by
+                # Q to match bench.py/BASELINE.md units (VERDICT r4 weak #2).
                 "qps": round((n_batches - epoch_skip) * cfg.bs
+                             * max(int(cfg.queries_per_img), 1)
                              / max(train_time, 1e-9), 2),
                 "lr": self._effective_lr(),
             }
