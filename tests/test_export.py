@@ -216,6 +216,8 @@ def test_weights_as_args_oov_serving(tmp_path):
     np.testing.assert_allclose(r_over[0]["box_norm"], r_unk[0]["box_norm"], atol=1e-6)
 
 
+@pytest.mark.slow  # Slow tier (r5): mq-artifact equality also covered by the fast
+    # data-parallel artifact test in test_serve.py.
 def test_multiquery_export_matches_live_ground_image(tiny_grounder, tmp_path):
     """multiquery=True exports shared-backbone (1 image × N queries)
     modules; the loaded artifact's ground_image runs ONE backbone pass per

@@ -93,6 +93,7 @@ def _tiny_cfg(root, tmp, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow  # Slow tier (r5): the schedule's pure-function tests stay fast.
 def test_scheduled_update_is_scaled_const_update(synth_root, tmp_path):
     import jax
 

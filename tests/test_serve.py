@@ -693,7 +693,10 @@ def test_daemon_soak_mixed_requests(tmp_path):
     )
     g = Grounder(cfg, vocab, variables, batch_size=8, bucket_sizes=(1, 8))
     g.warmup(multiquery=True)
-    srv = make_server(g, port=0, window_ms=2.0, max_queue=8)
+    # max_queue sized so the 16-thread steady load (≤ 16 × 8 pairs)
+    # never sheds, while the 64-thread burst rounds (~384 pairs offered)
+    # must — the soak exercises BOTH regimes deliberately.
+    srv = make_server(g, port=0, window_ms=2.0, max_queue=128)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     url = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -737,23 +740,30 @@ def test_daemon_soak_mixed_requests(tmp_path):
 
     # Warm the steady state, then measure RSS growth over the soak only
     # (first-touch allocations — executables, thread stacks — land early).
-    with ThreadPoolExecutor(16) as pool:
+    with ThreadPoolExecutor(16) as pool, ThreadPoolExecutor(64) as burst_pool:
         list(pool.map(fire, range(200)))
         rss_before = rss_mb()
         t0 = time.monotonic()
-        i = 200
+        i, round_no = 200, 0
         while counts["pairs"] < target:
-            # ~6 pairs/request average; burst extra load periodically so
-            # the bounded queue sheds under real concurrency.
-            n = 64 if (i // 64) % 10 else 256
-            list(pool.map(fire, range(i, i + n)))
-            i += n
+            if round_no % 10 == 9:
+                # Burst round: 64 concurrent clients offer ~384 pairs at
+                # once against the 128-pair queue — must shed, and every
+                # shed client still gets its immediate 503.
+                list(burst_pool.map(fire, range(i, i + 128)))
+                i += 128
+            else:
+                # Steady round: 16-way concurrency stays under the cap.
+                list(pool.map(fire, range(i, i + 64)))
+                i += 64
+            round_no += 1
         dt = time.monotonic() - t0
         rss_after = rss_mb()
 
     n_req = counts["ok"] + counts["shed"]
     assert counts["pairs"] >= target
     assert counts["ok"] > 0.5 * n_req, f"mostly shed: {counts}"
+    assert counts["shed"] > 0, "burst rounds never tripped the queue bound"
     # Bounded memory: steady-state growth under 256 MB across the soak
     # (observed leak-free runs sit far below; a per-request leak of even
     # 1 KB would exceed this at 10^5 requests... within a 2.5 KB margin).
@@ -767,3 +777,41 @@ def test_daemon_soak_mixed_requests(tmp_path):
     print(f"soak: {n_req} requests / {counts['pairs']} pairs in {dt:.1f}s "
           f"({counts['pairs']/dt:.0f} pairs/s), shed={counts['shed']}, "
           f"RSS {rss_before:.0f}->{rss_after:.0f} MB")
+
+
+def test_oversized_request_admitted_on_empty_queue(tmp_path):
+    """r5 regression (found live on the chip drive): a multiquery
+    request carrying more pairs than --max_queue must be admitted when
+    the queue is EMPTY — the old admission rejected it with a 'retry
+    later' 503 that no retry could ever satisfy. Backpressure stays: at
+    most one oversized request rides above the cap, and only from
+    depth 0."""
+    from zsgnet_tpu.serve import MicroBatcher, ServerOverloadedError
+
+    class EchoGrounder:
+        bs = 8
+        bucket_sizes = (1, 8)
+        cfg = Config(resize_img=(32, 32))
+
+        def ground_image(self, image, queries):
+            return [
+                {"box_norm": [0, 0, 1, 1], "box_xyxy": [0, 0, 1, 1], "score": 0.5}
+                for _ in queries
+            ]
+
+        def ground(self, images, queries):
+            return self.ground_image(None, queries)
+
+    b = MicroBatcher(EchoGrounder(), window_ms=1.0, max_queue=4)
+    img = np.zeros((32, 32, 3), np.uint8)
+    # Q=5 > max_queue=4: must be admitted from empty and complete.
+    item = b.submit_multi_async(img, ["q"] * 5)
+    res = b.wait(item)
+    assert len(res) == 5
+    # ...but NOT while anything is in flight: hold depth > 0 and retry.
+    with b._stats_lock:
+        b._depth += 1  # simulate one pair in flight
+    with pytest.raises(ServerOverloadedError):
+        b.submit_multi_async(img, ["q"] * 5)
+    with b._stats_lock:
+        b._depth -= 1

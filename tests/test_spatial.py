@@ -251,6 +251,8 @@ def test_halo_composes_with_grad_accum(synth_root, tmp_path):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow  # Slow tier (r5): spatial-eval fast coverage stays via
+    # test_learner_eval_only_retina_on_spatial_mesh.
 def test_spatial_eval_step_matches_single_device(synth_root, tmp_path):
     cfg1 = _cfg(synth_root, tmp_path)
     cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)

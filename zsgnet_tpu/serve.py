@@ -138,7 +138,13 @@ class MicroBatcher:
 
     def _admit(self, n: int) -> None:
         with self._stats_lock:
-            if self._depth + n > self.max_queue:
+            # A request carrying more pairs than max_queue can still be
+            # admitted onto an EMPTY queue (r5 — found live: a Q=5
+            # multiquery request against --max_queue=4 got a permanent
+            # "retry later" 503 that no retry could ever satisfy).
+            # Backpressure stays bounded: at most one oversized request
+            # rides above the cap, and only from depth 0.
+            if self._depth + n > self.max_queue and self._depth > 0:
                 self._n_shed += n
                 raise ServerOverloadedError(
                     f"queue full ({self._depth}/{self.max_queue} pairs in "
