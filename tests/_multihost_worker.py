@@ -85,7 +85,7 @@ data = get_data(cfg, shard_id=jax.process_index(), num_shards=jax.process_count(
 learn = Learner("mh", data, cfg)
 
 batch = next(iter(data.train_dl))
-learn.state, ls = learn.train_step(learn.state, learn._shard(learn._device_view(batch)))
+learn.state, ls = learn.train_step(learn.state, learn._shard(learn._device_view(batch, train=True)))
 train_loss = float(ls["total"])
 result = {"train_loss": train_loss}
 
@@ -123,7 +123,7 @@ else:
     resumed.data.train_dl.set_epoch(99)  # fixed post-resume batch, both sides
     b2 = next(iter(resumed.data.train_dl))
     resumed.state, ls2 = resumed.train_step(
-        resumed.state, resumed._shard(resumed._device_view(b2))
+        resumed.state, resumed._shard(resumed._device_view(b2, train=True))
     )
     result["post_resume_loss"] = float(ls2["total"])
     result["post_resume_step"] = int(resumed.state.step)

@@ -91,7 +91,7 @@ def test_two_process_spatial_matches_single_device(tmp_path):
     learn = Learner("mh_sp_single", data, cfg)
     batch = next(iter(data.train_dl))
     learn.state, ls = learn.train_step(
-        learn.state, learn._shard(learn._device_view(batch))
+        learn.state, learn._shard(learn._device_view(batch, train=True))
     )
     single = {"train_loss": float(ls["total"]), **learn.validate()}
 
@@ -120,7 +120,7 @@ def test_two_process_matches_single_process(tmp_path):
     learn = Learner("mh_single", data, cfg)
     batch = next(iter(data.train_dl))
     learn.state, ls = learn.train_step(
-        learn.state, learn._shard(learn._device_view(batch))
+        learn.state, learn._shard(learn._device_view(batch, train=True))
     )
     single = {"train_loss": float(ls["total"]), **learn.validate()}
 
@@ -132,7 +132,7 @@ def test_two_process_matches_single_process(tmp_path):
     resumed.data.train_dl.set_epoch(99)
     b2 = next(iter(resumed.data.train_dl))
     resumed.state, ls2 = resumed.train_step(
-        resumed.state, resumed._shard(resumed._device_view(b2))
+        resumed.state, resumed._shard(resumed._device_view(b2, train=True))
     )
     single["post_resume_loss"] = float(ls2["total"])
     single["post_resume_step"] = int(resumed.state.step)
@@ -183,7 +183,7 @@ def test_two_process_grouped_matches_single_process(tmp_path):
     batch = next(iter(data.train_dl))
     assert batch["qvec"].ndim == 3
     learn.state, ls = learn.train_step(
-        learn.state, learn._shard(learn._device_view(batch))
+        learn.state, learn._shard(learn._device_view(batch, train=True))
     )
     single = {"train_loss": float(ls["total"]), **learn.validate()}
 

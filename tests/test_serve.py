@@ -815,3 +815,39 @@ def test_oversized_request_admitted_on_empty_queue(tmp_path):
         b.submit_multi_async(img, ["q"] * 5)
     with b._stats_lock:
         b._depth -= 1
+
+
+def test_batch_predict_grouped_matches_flat(server, tmp_path):
+    """Bulk grouped mode (r5): multi-phrase images route through ONE
+    ground_image backbone pass, single-phrase rows batch flat — output
+    rows must equal the all-flat path in CSV order."""
+    from PIL import Image
+
+    from zsgnet_tpu.predict import batch_predict
+
+    g, url, img_path = server
+    rng = np.random.default_rng(3)
+    img2 = tmp_path / "b.png"
+    Image.fromarray(rng.integers(0, 255, (40, 64, 3)).astype(np.uint8)).save(img2)
+    csv = tmp_path / "mix.csv"
+    csv.write_text(
+        "img_id,query\n"
+        f"{img_path.name},the red box\n"
+        f"{img2.name},a blue ellipse\n"          # single-phrase image
+        f"{img_path.name},a blue ellipse\n"      # interleaved group
+        f"{img_path.name},box on the left\n"
+    )
+    import shutil
+
+    shutil.copy(img_path, tmp_path / img_path.name)
+    out_g = tmp_path / "g.jsonl"
+    out_f = tmp_path / "f.jsonl"
+    assert batch_predict(g, csv, tmp_path, out_g, grouped=True) == 4
+    assert batch_predict(g, csv, tmp_path, out_f, grouped=False) == 4
+    got = [json.loads(x) for x in out_g.read_text().splitlines()]
+    want = [json.loads(x) for x in out_f.read_text().splitlines()]
+    for a, b in zip(got, want):
+        assert a["img_id"] == b["img_id"] and a["query"] == b["query"]
+        np.testing.assert_allclose(a["box_xyxy"], b["box_xyxy"], atol=1e-3)
+        np.testing.assert_allclose(a["box_norm"], b["box_norm"], atol=1e-4)
+        assert abs(a["score"] - b["score"]) < 1e-5

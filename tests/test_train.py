@@ -172,7 +172,7 @@ def test_no_retrace_across_batches(synth_root, tmp_path):
     for _ in range(2):
         batch = next(it)
         learn.state, _ = learn.train_step(
-            learn.state, learn._shard(learn._device_view(batch))
+            learn.state, learn._shard(learn._device_view(batch, train=True))
         )
     assert learn.train_step._cache_size() == 1, "train step retraced"
 
@@ -347,7 +347,7 @@ def test_lr_scale_zero_freezes_params(synth_root, tmp_path):
     before = jax.tree.map(np.asarray, learn.state.params)
     batch = next(iter(data.train_dl))
     learn.state, _ = learn.train_step(
-        learn.state, learn._shard(learn._device_view(batch))
+        learn.state, learn._shard(learn._device_view(batch, train=True))
     )
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(learn.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -538,3 +538,26 @@ def test_train_step_rejects_zero_decay_horizon(synth_root, tmp_path):
     state = create_train_state(cfg, model, dev, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="lr_decay_steps"):
         make_train_step(cfg, anchor_pyramid_for(cfg), mesh=None)(state, dev)
+
+
+def test_device_view_matches_step_batch_keys(synth_root, tmp_path):
+    """Contract guard (r5 — the nightly caught a fast-gate blind spot):
+    the keys the Learner ships to the TRAIN step must equal
+    train_batch_keys(cfg) exactly — the GSPMD spatial train step's
+    in_shardings dict is structure-strict, and the loader always emits
+    an all-ones ``valid`` even under drop_last=True, so an accidental
+    extra key is a pytree error only the slow spatial-fit tests would
+    see. Eval views must match eval_batch_keys the same way."""
+    from zsgnet_tpu.parallel.train_step import eval_batch_keys, train_batch_keys
+
+    cfg = tiny_cfg(synth_root, tmp_path, nw=1)
+    data = get_data(cfg)
+    learn = Learner("t_keys", data, cfg)
+    tb = next(iter(data.train_dl))
+    assert "valid" in tb  # the loader emits it even for drop_last=True
+    assert set(learn._device_view(tb, train=True)) == set(train_batch_keys(cfg))
+    vb = data.valid_dl.first_batch()
+    assert set(learn._device_view(vb)) == set(eval_batch_keys(cfg))
+    # Grouped configs add pair_valid on both sides.
+    assert "pair_valid" in train_batch_keys(cfg.replace(queries_per_img=3))
+    assert "pair_valid" in eval_batch_keys(cfg.replace(queries_per_img=3))

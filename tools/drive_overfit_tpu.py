@@ -40,7 +40,7 @@ print(f"mdl_to_use={cfg.mdl_to_use}")
 data = get_data(cfg)
 learn = Learner("overfit", data, cfg)
 batch = next(iter(data.train_dl))
-sharded = learn._shard(learn._device_view(batch))
+sharded = learn._shard(learn._device_view(batch, train=True))
 comps = anchor_components_for(cfg)
 
 

@@ -570,18 +570,28 @@ class Grounder(OpenVocabMixin):
 
 def batch_predict(
     grounder: Grounder, csv_path: str | Path, img_dir: str | Path,
-    out_path: str | Path, block_batches: int = 4,
+    out_path: str | Path, block_batches: int = 4, grouped: bool = True,
 ) -> int:
     """Offline bulk inference: dataset-format CSV → JSONL predictions.
 
     The CSV is the same format the dataset splits use (``img_id`` path
     relative to ``img_dir`` + ``query``; any bbox/case columns are
     ignored), so a user can point this straight at a split file. Rows
-    stream through ``ground()`` in blocks of ``block_batches`` device
-    batches — large enough that the depth-2 host/device pipeline
-    overlaps prep with execution, small enough to bound memory. Returns
-    the number of rows written; each JSONL line carries
-    ``img_id``/``query``/``box_xyxy``/``box_norm``/``score``.
+    stream in blocks of ``block_batches`` device batches — large enough
+    that the depth-2 host/device pipeline overlaps prep with execution,
+    small enough to bound memory. Returns the number of rows written;
+    each JSONL line carries ``img_id``/``query``/``box_xyxy``/
+    ``box_norm``/``score``.
+
+    ``grouped`` (default, r5): within each block, images carrying ≥2
+    phrases route through ``ground_image`` — ONE backbone pass and ONE
+    host decode per image instead of per pair (the grouped-training
+    mechanism applied to bulk offline inference; Flickr30k splits
+    average ~5 phrases/image). Single-phrase rows still batch through
+    the flat ``ground()`` path, which packs them densely — the best
+    regime for each shape. Results are identical either way
+    (ground_image ≡ ground, tests/test_multiquery.py); output rows stay
+    in CSV order.
     """
     import json
 
@@ -599,7 +609,28 @@ def batch_predict(
             rows = df.iloc[start : start + span]
             paths = [img_dir / str(p) for p in rows["img_id"]]
             queries = [str(q) for q in rows["query"]]
-            for (_, row), res in zip(rows.iterrows(), grounder.ground(paths, queries)):
+            results: list = [None] * len(rows)
+            if grouped:
+                by_img: dict[str, list[int]] = {}
+                for j, p in enumerate(rows["img_id"]):
+                    by_img.setdefault(str(p), []).append(j)
+                flat_idx = [g[0] for g in by_img.values() if len(g) == 1]
+                for res_j, res in zip(
+                    flat_idx,
+                    grounder.ground([paths[j] for j in flat_idx],
+                                    [queries[j] for j in flat_idx]),
+                ):
+                    results[res_j] = res
+                for g in by_img.values():
+                    if len(g) > 1:  # one backbone pass + one decode
+                        for j, res in zip(
+                            g, grounder.ground_image(paths[g[0]],
+                                                     [queries[j] for j in g])
+                        ):
+                            results[j] = res
+            else:
+                results = grounder.ground(paths, queries)
+            for (_, row), res in zip(rows.iterrows(), results):
                 f.write(json.dumps(
                     {"img_id": str(row["img_id"]), "query": str(row["query"]), **res}
                 ) + "\n")
@@ -625,12 +656,15 @@ def main() -> None:
         img_dir = overrides.pop("img_dir", ".")
         out_path = overrides.pop("out", "predictions.jsonl")
         bs = int(overrides.pop("batch_size", "32"))
+        # --grouped=false forces the flat per-pair path (default groups
+        # multi-phrase images through one backbone pass each).
+        grouped = overrides.pop("grouped", "true").lower() in ("1", "true", "yes")
         g = Grounder.from_checkpoint(
             args[0], vocab_path, batch_size=bs, quantize=quantize,
             cfg_overrides=overrides or None,
             oov_slots=oov_slots, glove_path=glove_path,
         )
-        n = batch_predict(g, csv_path, img_dir, out_path)
+        n = batch_predict(g, csv_path, img_dir, out_path, grouped=grouped)
         print(f"wrote {n} predictions → {out_path}")
         return
     if len(args) != 3:

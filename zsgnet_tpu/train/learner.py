@@ -210,15 +210,23 @@ class Learner:
         which all hosts execute at the same batch in lockstep."""
         self._stop_requested = True
 
-    def _device_view(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
+    def _device_view(
+        self, batch: dict[str, np.ndarray], train: bool = False
+    ) -> dict[str, Any]:
         # Core keys + the loss masks when the loader emits them: ``valid``
         # (eval tail wrap-pad) and ``pair_valid`` (grouped wrap-repeats)
         # weight those samples out of the loss on device — each real pair
         # counts exactly once (train_step.train_batch_keys/eval_batch_keys).
-        keep = ("img", "qvec", "qlens", "annot", "pair_valid", "valid")
+        # TRAIN batches drop ``valid``: the loader emits an all-ones mask
+        # under drop_last=True, and the GSPMD train step's in_shardings
+        # dict covers exactly train_batch_keys — an extra key is a pytree
+        # STRUCTURE error there (caught by the nightly spatial fit tests).
+        keep = ("img", "qvec", "qlens", "annot", "pair_valid") + (
+            () if train else ("valid",)
+        )
         return {k: batch[k] for k in keep if k in batch}
 
-    def _device_prefetch(self, it, depth: int = 2):
+    def _device_prefetch(self, it, depth: int = 2, train: bool = False):
         """Keep ``depth`` batches in flight on the device ahead of the
         consumer.
 
@@ -236,7 +244,7 @@ class Learner:
         q: deque = deque()
         host_batches: deque = deque()  # keep host-side keys (case/idxs/valid)
         for batch in it:
-            q.append(self._shard(self._device_view(batch)))
+            q.append(self._shard(self._device_view(batch, train=train)))
             host_batches.append(batch)
             if len(q) > depth:
                 yield q.popleft(), host_batches.popleft()
@@ -359,7 +367,7 @@ class Learner:
                 last_ls = {k: float(v) for k, v in p.items()}
                 smooth.add_value(last_ls["total"])
 
-            for sharded, _ in self._device_prefetch(self.data.train_dl):
+            for sharded, _ in self._device_prefetch(self.data.train_dl, train=True):
                 self.state, ls = self.train_step(self.state, sharded)
                 n_batches += 1
                 if (
@@ -521,7 +529,7 @@ class Learner:
         the jitted step is donated — never reuse a pre-step state object.
         """
         batch = self.data.train_dl.first_batch()
-        sharded = self._shard(self._device_view(batch))
+        sharded = self._shard(self._device_view(batch, train=True))
         first = last = float("inf")
         for i in range(steps):
             self.state, ls = self.train_step(self.state, sharded)
