@@ -176,6 +176,30 @@ def main() -> None:
     except Exception as e:
         print(f"# grouped path skipped: {type(e).__name__}: {e}", flush=True)
 
+    # int8 × grouped — the serving frontier (r5): the two wins compose
+    # (quantized backbone+head under the shared-backbone broadcast;
+    # equality tested in tests/test_multiquery.py grouped-int8).
+    # Measured 1.59× over bf16 grouped on the same shapes.
+    grouped_i8_qps = None
+    if grouped_qps is not None and int8_qps is not None:
+        try:
+            @partial(jax.jit, compiler_options=copts)
+            def infer_grouped_i8(variables, gbatch):
+                out = model_i8.apply(variables, gbatch, train=False)
+                return decode_best_box_levels(
+                    out["att_levels"], out["delta_levels"], anchor_comps
+                )
+
+            for _ in range(WARMUP):
+                jax.block_until_ready(infer_grouped_i8(v_i8, gbatch))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                gout = infer_grouped_i8(v_i8, gbatch)
+            float(jax.numpy.sum(gout[0]))
+            grouped_i8_qps = gb * gq * ITERS / (time.perf_counter() - t0)
+        except Exception as e:
+            print(f"# grouped-int8 path skipped: {type(e).__name__}: {e}", flush=True)
+
     row = {
         "metric": "grounding_queries_per_sec_per_chip",
         "value": round(qps, 2),
@@ -190,6 +214,11 @@ def main() -> None:
         # backbone per pair, so the honest comparison point is unchanged.
         row["grouped_q5_qps"] = round(grouped_qps, 2)
         row["grouped_q5_vs_baseline"] = round(grouped_qps / V100_REF_QPS, 3)
+    if grouped_i8_qps is not None:
+        row["grouped_q5_int8_qps"] = round(grouped_i8_qps, 2)
+        row["grouped_q5_int8_vs_baseline"] = round(
+            grouped_i8_qps / V100_REF_QPS, 3
+        )
     print(json.dumps(row))
 
 
