@@ -276,3 +276,35 @@ def test_export_rejects_uncalibrated_int8(tiny_grounder, tmp_path):
     assert gq.quantize and "quant" not in gq.variables
     with pytest.raises(ValueError, match="uncalibrated"):
         export_serving(gq, tmp_path / "art3", platforms=("cpu",))
+
+
+@pytest.mark.slow  # composition of three fast-tested pieces (int8 export,
+# mq export, grouped-int8 equality); ~45 s of compile
+def test_export_int8_multiquery_roundtrip(tiny_grounder, tmp_path):
+    """int8 × multiquery × v3 export (r5 — the 47× serving frontier as
+    a deployable artifact): a calibrated int8 Grounder exports mq
+    modules too; artifact ground_image tracks the live quantized
+    ground_image under the int8 flip-tolerance convention
+    (test_export_calibrated_int8_roundtrip's bar)."""
+    g, imgs, queries = tiny_grounder
+    cfg = g.cfg.replace(head_canvas=False)
+    gq = Grounder(cfg, g.vocab, dict(g.variables), batch_size=32, quantize=True)
+    gq.ground(imgs, queries)  # calibrate
+    out = export_serving(gq, tmp_path / "art_i8mq", platforms=("cpu",),
+                         weights_as_args=True, multiquery=True)
+    served = ExportedGrounder.load(out)
+    assert served._mq_calls, "mq modules missing from int8 export"
+    img = imgs[0]
+    live = gq.ground_image(img, queries)
+    art = served.ground_image(img, queries)
+    ious = []
+    for a, b in zip(live, art):
+        assert abs(a["score"] - b["score"]) < 5e-3
+        ay1, ax1, ay2, ax2 = a["box_norm"]
+        by1, bx1, by2, bx2 = b["box_norm"]
+        ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+        iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+        inter = ih * iw
+        union = (ay2 - ay1) * (ax2 - ax1) + (by2 - by1) * (bx2 - bx1) - inter
+        ious.append(inter / union if union > 0 else 0.0)
+    assert np.mean([i > 0.8 for i in ious]) >= 0.66, f"int8 mq artifact: {ious}"
