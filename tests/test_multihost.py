@@ -34,23 +34,42 @@ def _free_port() -> int:
 
 
 def _run_cluster(root: Path, out_dir: Path, mode: str, timeout: int) -> dict:
-    port = _free_port()
-    out_dir.mkdir(exist_ok=True)
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    """Launch the 2-process cluster; retry ONCE on the Gloo rendezvous
+    flake. Gloo's CPU-collectives context init has a hard ~30 s
+    GetKeyValue deadline that neither jax.distributed.initialize's
+    timeout nor our subprocess timeout controls — on a loaded 1-core
+    host one worker can still be importing/compiling when the other
+    enters its first collective, and the whole cluster dies with
+    'Gloo context initialization failed: DEADLINE_EXCEEDED' (observed
+    only under concurrent-load runs; solo runs pass repeatedly). That
+    exact signature gets one retry; anything else fails immediately."""
     worker = Path(__file__).parent / "_multihost_worker.py"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(port), str(i), str(root),
-             str(out_dir), mode],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
-            cwd=str(Path(__file__).parent.parent),
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out_dir.mkdir(exist_ok=True)
+    for attempt in (0, 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(port), str(i), str(root),
+                 str(out_dir), mode],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+                text=True, cwd=str(Path(__file__).parent.parent),
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            return json.loads((out_dir / "metrics.json").read_text())
+        gloo_flake = any(
+            "Gloo context initialization failed" in out and "DEADLINE_EXCEEDED" in out
+            for out in outs
         )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+        if not (gloo_flake and attempt == 0):
+            break
+        print("multihost cluster: Gloo rendezvous deadline flake — retrying once")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
     return json.loads((out_dir / "metrics.json").read_text())

@@ -281,7 +281,7 @@ class ExportedGrounder(OpenVocabMixin):
         self._weights_as_args = variables is not None
         self._devices = list(devices) if devices else None
         self._rr = 0  # round-robin cursor over self._devices
-        self._vars_cache: tuple | None = None  # (id(variables), {dev: placed})
+        self._vars_cache: tuple | None = None  # (variables ref, {dev: placed})
         self.dispatch_counts: dict = {}  # device → chunks served (observability)
         # Open-vocab state (OpenVocabMixin): active only for v3 artifacts
         # whose exporting Grounder reserved slots.
@@ -440,11 +440,14 @@ class ExportedGrounder(OpenVocabMixin):
 
     def _vars_on(self, dev):
         """The variables pytree committed to ``dev`` — cached per device,
-        invalidated when OOV row writes replace ``self.variables``."""
+        invalidated when OOV row writes replace ``self.variables``.
+        The cache keys on the OBJECT (identity via a held reference, not
+        a bare id() — ids recycle after GC and a stale hit would serve
+        pre-OOV weights)."""
         if dev is None or not self._weights_as_args:
             return self.variables
-        if self._vars_cache is None or self._vars_cache[0] != id(self.variables):
-            self._vars_cache = (id(self.variables), {})
+        if self._vars_cache is None or self._vars_cache[0] is not self.variables:
+            self._vars_cache = (self.variables, {})
         placed = self._vars_cache[1]
         if dev not in placed:
             placed[dev] = jax.device_put(self.variables, dev)
