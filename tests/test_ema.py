@@ -59,7 +59,9 @@ def _expected_decay(t: int) -> float:
 def _run_steps(cfg, data, n_steps: int):
     """Run n train steps; return (final state, [params after each step])."""
     batch = next(iter(data.train_dl))
-    dev = {k: batch[k] for k in ("img", "qvec", "qlens", "annot")}
+    from zsgnet_tpu.parallel.train_step import train_batch_keys
+
+    dev = {k: batch[k] for k in train_batch_keys(cfg)}
     model = get_default_net(cfg, vocab_size=len(data.vocab))
     state = create_train_state(cfg, model, dev, jax.random.PRNGKey(0))
     mesh = make_mesh(cfg) if cfg.do_dist else None
@@ -127,6 +129,19 @@ def test_ema_formula_exact_on_mesh(synth_root, tmp_path):
     cfg = _cfg(synth_root, tmp_path, do_dist=True, mesh_shape=(8,))
     data = get_data(cfg)
     state, init_params, traj = _run_steps(cfg, data, n_steps=2)
+    _check_ema_matches_recurrence(state, init_params, traj)
+
+
+def test_ema_formula_exact_grouped(synth_root, tmp_path):
+    """EMA × grouped multi-query: the recurrence must hold unchanged when
+    the step consumes grouped (B, Q, …) batches with pair_valid loss
+    masking (EMA is a pure function of the param trajectory, so grouping
+    must not perturb it beyond changing that trajectory's inputs)."""
+    cfg = _cfg(synth_root, tmp_path, bs=4, queries_per_img=2)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    assert batch["qvec"].ndim == 3 and "pair_valid" in batch  # grouped path
+    state, init_params, traj = _run_steps(cfg, data, n_steps=3)
     _check_ema_matches_recurrence(state, init_params, traj)
 
 
