@@ -69,8 +69,11 @@ def pytest_collection_modifyitems(config, items):
     exactness families must keep fast representatives). Driving below
     10 min would mean slow-marking ~12 more mid-tier exactness tests,
     trading correctness coverage for iteration speed — rejected; run
-    ``--runslow`` (~35-40 min) for the full tier at least once per
-    round."""
+    ``--runslow`` for the full tier at least once per round. Full-tier
+    MEASURED (r5, 2026-08-20, solo clean run): **274 passed in 1:15:00**
+    — ~49 min of slow tier on top of the gate, of which ~26 min is the
+    daemon soak (`test_daemon_soak_mixed_requests`; shrink it via
+    ``ZSGNET_SOAK_PAIRS`` when iterating on the slow tier itself)."""
     if config.getoption("--runslow"):
         return
     skip = pytest.mark.skip(reason="slow test: pass --runslow to include")

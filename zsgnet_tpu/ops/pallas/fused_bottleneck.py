@@ -191,8 +191,8 @@ def fused_bottleneck_infer(
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vspec] * 12,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vspec] * 12,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, H, WP, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((1, TR, WP + 16, Cin), jnp.bfloat16),
