@@ -56,8 +56,10 @@ def pytest_collection_modifyitems(config, items):
     pass uses ``pytest --runslow`` for everything (VERDICT r1 #8).
 
     MEASURED budget (r5, this 1-core host, warm compile cache, solo
-    clean run 2026-08-20): **14:13 for 205 tests** (853 s; `time
-    python -m pytest tests/ -q`). The honest number, not a target —
+    clean run 2026-08-20): **13:36 for 209 tests** (817 s; `time
+    python -m pytest tests/ -q`; earlier same-day run: 14:13/205 —
+    run-to-run spread on this host is ±1 min). The honest number, not
+    a target —
     the remaining cost is CPU-bound Python tracing (user time ≈ wall),
     which the persistent compile cache cannot touch. The r5 re-tier
     got 18:41 → 14:13 while ADDING ~8 new unmarked tests: the multihost
