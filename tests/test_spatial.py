@@ -94,6 +94,76 @@ def test_spatial_train_step_exact_on_bn_free_ssd(synth_root, tmp_path):
                                    rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow  # ~60s compile; fast reps: canvas equality (test_model), ssd gspmd exact above
+def test_canvas_head_gspmd_spatial_exact_ssd(synth_root, tmp_path):
+    """head_canvas × GSPMD spatial (SSD-VGG + uniform proj, (2, 4)
+    mesh): the zero-separated canvas pack (models/canvas.py `.at[].set`
+    scatters + border masks) must partition exactly under the sharded
+    image height — same bar as test_spatial_train_step_exact_on_bn_free_ssd.
+    A trace-time spy proves the canvas branch actually engaged (it needs
+    uniform channels; a silently-skipped canvas would make this test
+    vacuous). Closes the last untested head-layout × spatial cell."""
+    from unittest import mock
+
+    from zsgnet_tpu.models import canvas as canvas_mod
+
+    cfg1 = _cfg(synth_root, tmp_path, mdl_to_use="ssd_vgg",
+                ssd_uniform_proj=True, head_canvas=True)
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)
+    data = get_data(cfg1)
+    state1, dev = _state_and_batch(cfg1, data)
+    state_sp, _ = _state_and_batch(cfg_sp, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    with mock.patch.object(
+        canvas_mod, "pack_levels", wraps=canvas_mod.pack_levels
+    ) as spy:
+        s1, ls1 = make_train_step(cfg1, anchors, mesh=None)(state1, dev)
+        ssp, lssp = make_train_step(cfg_sp, anchors, mesh=mesh)(state_sp, dev)
+    assert spy.called, "canvas head did not engage (same_ch gate?)"
+
+    np.testing.assert_allclose(float(ls1["total"]), float(lssp["total"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(ls1["num_pos"]), float(lssp["num_pos"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(ssp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow  # ~60s compile; fast reps: canvas equality (test_model), ssd gspmd exact above
+def test_canvas_head_halo_spatial_matches_single_device(synth_root, tmp_path):
+    """head_canvas × halo spatial (retina, (2, 4) mesh, spatial_mode
+    auto → halo): the canvas head runs AFTER the all_to_all reshard on
+    batch-sharded full-height features, so it must land inside the same
+    fp32 envelope as the per-level head
+    (test_halo_train_step_matches_single_device's bar)."""
+    from unittest import mock
+
+    from zsgnet_tpu.models import canvas as canvas_mod
+
+    cfg1 = _cfg(synth_root, tmp_path, head_canvas=True)
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)
+    data = get_data(cfg1)
+    state1, dev = _state_and_batch(cfg1, data)
+    state_sp, _ = _state_and_batch(cfg_sp, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    with mock.patch.object(
+        canvas_mod, "pack_levels", wraps=canvas_mod.pack_levels
+    ) as spy:
+        s1, ls1 = make_train_step(cfg1, anchors, mesh=None)(state1, dev)
+        ssp, lssp = make_train_step(cfg_sp, anchors, mesh=mesh)(state_sp, dev)
+    assert spy.called, "canvas head did not engage (same_ch gate?)"
+
+    np.testing.assert_allclose(float(ls1["total"]), float(lssp["total"]), rtol=1e-4)
+    np.testing.assert_allclose(float(ls1["num_pos"]), float(lssp["num_pos"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(ssp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_spatial_gspmd_mode_gated_for_retina(synth_root, tmp_path):
     """Retina×spatial GSPMD TRAINING stays gated: jax 0.9's SPMD
     partitioner mis-compiles the grad of the ResNet+FPN forward under a
