@@ -164,6 +164,31 @@ def test_canvas_head_halo_spatial_matches_single_device(synth_root, tmp_path):
                                    rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow  # ~60s compile; the handled-fallback path needs one proof
+def test_spd_stem_halo_spatial_matches_single_device(synth_root, tmp_path):
+    """spd_stem × halo spatial (retina): the SPD stem has no halo
+    variant by design — models/resnet.py reshards to batch-split mode
+    before the stem ("not worth a halo variant") — so the whole step
+    must still equal single-device within the halo fp32 envelope.
+    Proves the documented fallback rather than trusting the comment."""
+    cfg1 = _cfg(synth_root, tmp_path, spd_stem=True)
+    cfg_sp = cfg1.replace(do_dist=True, mesh_spatial=4)
+    data = get_data(cfg1)
+    state1, dev = _state_and_batch(cfg1, data)
+    state_sp, _ = _state_and_batch(cfg_sp, data)
+    anchors = anchor_pyramid_for(cfg1)
+    mesh = make_mesh(cfg_sp)
+
+    s1, ls1 = make_train_step(cfg1, anchors, mesh=None)(state1, dev)
+    ssp, lssp = make_train_step(cfg_sp, anchors, mesh=mesh)(state_sp, dev)
+
+    np.testing.assert_allclose(float(ls1["total"]), float(lssp["total"]), rtol=1e-4)
+    np.testing.assert_allclose(float(ls1["num_pos"]), float(lssp["num_pos"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(ssp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_spatial_gspmd_mode_gated_for_retina(synth_root, tmp_path):
     """Retina×spatial GSPMD TRAINING stays gated: jax 0.9's SPMD
     partitioner mis-compiles the grad of the ResNet+FPN forward under a
